@@ -1,0 +1,43 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax initializes.
+
+The reference has no test suite (SURVEY.md §4); this framework tests every
+layer against golden numpy/scipy references and runs all sharding paths on a
+forced multi-device CPU backend (no TPU needed).
+"""
+
+import os
+
+# Must happen before jax import anywhere.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected >=8 forced CPU devices, got {devs}"
+    return devs
+
+
+@pytest.fixture(scope="session")
+def synthetic_case(tmp_path_factory):
+    """A tiny synthetic 4-modality BraTS case on disk (NIfTI), built by the
+    framework's own generator."""
+    from brats21_tpu.data.synthetic import generate_synthetic_dataset
+    root = tmp_path_factory.mktemp("brats_synth")
+    generate_synthetic_dataset(str(root), num_cases=3, shape=(48, 48, 32), seed=0)
+    return str(root)
