@@ -1,0 +1,77 @@
+"""Metric tests incl. the BraTS edge-case rules (reference metrics.py:47-80)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+from brats21_tpu.utils import metrics as M
+
+
+def _ball(shape, center, radius):
+    grid = np.indices(shape).astype(np.float32)
+    d = np.sqrt(sum((g - c) ** 2 for g, c in zip(grid, center)))
+    return (d <= radius)
+
+
+def test_dice_perfect_and_disjoint():
+    a = np.zeros((1, 8, 8, 8, 2), bool)
+    a[0, 2:4, 2:4, 2:4, 0] = True
+    a[0, 5:7, 5:7, 5:7, 1] = True
+    d = np.asarray(M.dice_metric(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(d, 1.0)
+    b = np.zeros_like(a)
+    b[0, 0:2, 0:2, 0:2, 0] = True
+    b[0, 5:7, 5:7, 5:7, 1] = True
+    d = np.asarray(M.dice_metric(jnp.asarray(b), jnp.asarray(a)))
+    assert d[0, 0] == 0.0 and d[0, 1] == 1.0
+
+
+def test_dice_edge_rules():
+    empty = np.zeros((1, 4, 4, 4, 1), bool)
+    full = empty.copy()
+    full[0, 1:3, 1:3, 1:3, 0] = True
+    # both empty -> 1
+    assert float(M.dice_metric(jnp.asarray(empty), jnp.asarray(empty))[0, 0]) == 1.0
+    # mismatch -> 0
+    assert float(M.dice_metric(jnp.asarray(full), jnp.asarray(empty))[0, 0]) == 0.0
+    assert float(M.dice_metric(jnp.asarray(empty), jnp.asarray(full))[0, 0]) == 0.0
+
+
+def test_hd95_identity_zero():
+    m = _ball((16, 16, 16), (8, 8, 8), 4)
+    assert M.hausdorff_distance_95(m, m) == 0.0
+
+
+def test_hd95_known_shift():
+    a = np.zeros((24, 8, 8), bool)
+    b = np.zeros((24, 8, 8), bool)
+    a[4:8] = True
+    b[9:13] = True  # shifted by 5 along axis 0
+    hd = M.hausdorff_distance_95(a, b, percentile=100)
+    assert abs(hd - 5.0) < 1e-6
+
+
+def test_compute_case_metrics_edge_rules():
+    empty = np.zeros((1, 8, 8, 8, 3), bool)
+    full = empty.copy()
+    full[0, 2:5, 2:5, 2:5, :] = True
+    res = M.compute_case_metrics(empty, empty)
+    np.testing.assert_allclose(res["Dice"], 1.0)
+    np.testing.assert_allclose(res["Hausdorff_Distance95"], 0.0)
+    res = M.compute_case_metrics(full, empty)
+    np.testing.assert_allclose(res["Dice"], 0.0)
+    np.testing.assert_allclose(res["Hausdorff_Distance95"], M.BRATS_DIAGONAL)
+
+
+def test_sensitivity_specificity():
+    g = np.zeros((1, 6, 6, 6, 1), bool)
+    g[0, 1:4, 1:4, 1:4, 0] = True
+    sens, spec = M.sensitivity_specificity(jnp.asarray(g), jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(sens), 1.0)
+    np.testing.assert_allclose(np.asarray(spec), 1.0)
+
+
+def test_roc_auc_perfect():
+    probs = np.array([0.9, 0.8, 0.2, 0.1])
+    labels = np.array([1, 1, 0, 0])
+    assert M.roc_auc(probs, labels) == 1.0
