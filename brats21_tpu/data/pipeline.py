@@ -1,0 +1,265 @@
+"""Dataset + async prefetching loaders feeding the device.
+
+Replaces the reference's MONAI Dataset / torch DataLoader with worker
+processes (definer.py:514-525) by a thread-pool pipeline: NIfTI decode +
+numpy augmentation run in background threads while the TPU executes the
+previous step, and batches are handed to jax as ready-to-transfer numpy
+arrays (the engine shards them onto the mesh with ``jax.device_put``).
+
+Split logic mirrors definer.py:583-628 (sklearn KFold(5, shuffle, seed)).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import get_logger
+from .discovery import (MODALITIES, MODALITIES_WITH_SEG, create_database,
+                        create_database_test_docker, kfold_split,
+                        make_file_records)
+from .nifti import read_nifti
+from .transforms import augment_train_sample, preprocess_case
+
+logger = get_logger("data")
+
+
+def load_case(record: Dict[str, Any]) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
+    """Load 4 modality volumes + optional seg → ([X,Y,Z,4], [X,Y,Z]?, affine)."""
+    vols = []
+    affine = None
+    for path in record["img"]:
+        img = read_nifti(path)
+        vols.append(np.asarray(img.data, np.float32))
+        affine = img.affine if affine is None else affine
+    img4 = np.stack(vols, axis=-1)
+    seg = None
+    if "seg" in record:
+        seg = np.asarray(read_nifti(record["seg"]).data)
+    return img4, seg, affine
+
+
+class BraTSDataset:
+    """Lazy per-case dataset: record → preprocessed sample dict."""
+
+    def __init__(self, records: List[Dict[str, Any]], *,
+                 with_seg: bool, remove_outliers: bool = False,
+                 crop: bool = True, compute_distance_map: bool = False,
+                 already_preprocess: bool = False):
+        self.records = records
+        self.with_seg = with_seg
+        self.remove_outliers = remove_outliers
+        self.crop = crop and not already_preprocess
+        self.already_preprocess = already_preprocess
+        self.compute_distance_map = compute_distance_map
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        record = self.records[idx]
+        img, seg, affine = load_case(record)
+        if not self.with_seg:
+            seg = None
+        if self.already_preprocess:
+            # skip crop+normalize (definer.py:476-479)
+            sample = preprocess_case(img, seg, crop=False,
+                                     compute_distance_map=self.compute_distance_map)
+        else:
+            sample = preprocess_case(img, seg, remove_outliers=self.remove_outliers,
+                                     crop=self.crop,
+                                     compute_distance_map=self.compute_distance_map)
+        sample["patient_id"] = record["patient_id"]
+        sample["affine"] = affine
+        return sample
+
+
+def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack array fields into a batch (requires equal shapes, which the
+    train pipeline guarantees via fixed patch size)."""
+    batch: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals)
+        else:
+            batch[key] = vals
+    return batch
+
+
+class _PrefetchIterator:
+    """Thread-pool map + bounded queue: keeps ``prefetch`` batches in flight."""
+
+    def __init__(self, make_item: Callable[[int], Any], n: int,
+                 num_workers: int, prefetch: int = 2):
+        self._q: "queue.Queue[Any]" = queue.Queue(maxsize=max(prefetch, 1))
+        self._n = n
+        self._error: Optional[BaseException] = None
+
+        def producer():
+            try:
+                if num_workers <= 1:
+                    for i in range(n):
+                        self._q.put(make_item(i))
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(num_workers) as pool:
+                        for item in pool.map(make_item, range(n)):
+                            self._q.put(item)
+            except BaseException as e:  # propagate into consumer
+                self._error = e
+            finally:
+                self._q.put(_SENTINEL)
+
+        self._thread = threading.Thread(target=producer, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _SENTINEL:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
+
+
+_SENTINEL = object()
+
+
+class TrainLoader:
+    """Shuffling, augmenting, batching loader with deterministic per-epoch
+    seeds (replacing set_determinism, definer.py:507-508)."""
+
+    def __init__(self, dataset: BraTSDataset, batch_size: int,
+                 patch_size: Sequence[int], seed: int = 123,
+                 num_workers: int = 4, drop_last: bool = True,
+                 divisible_k: int = 8):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.patch_size = list(patch_size)
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.divisible_k = divisible_k
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = rng.permutation(len(self.dataset))
+        nb = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        aug_seeds = rng.integers(0, 2 ** 31, size=len(self.dataset))
+
+        def make_batch(bi: int) -> Dict[str, Any]:
+            samples = []
+            for idx in batches[bi]:
+                s = self.dataset[int(idx)]
+                s = augment_train_sample(
+                    s, np.random.default_rng(int(aug_seeds[idx])),
+                    self.patch_size, self.divisible_k)
+                samples.append(s)
+            return _collate(samples)
+
+        return iter(_PrefetchIterator(make_batch, nb, self.num_workers))
+
+
+class EvalLoader:
+    """Batch-size-1 loader for val/test (reference val loader, definer.py:524)."""
+
+    def __init__(self, dataset: BraTSDataset, num_workers: int = 2):
+        self.dataset = dataset
+        self.num_workers = num_workers
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        def make_item(i: int) -> Dict[str, Any]:
+            return _collate([self.dataset[i]])
+
+        return iter(_PrefetchIterator(make_item, len(self.dataset),
+                                      self.num_workers))
+
+
+# ---------------------------------------------------------------------------
+# Factory entry points mirroring definer.py
+# ---------------------------------------------------------------------------
+
+
+def create_train_val_records(cfg: Any) -> Tuple[List[Dict], List[Dict]]:
+    """definer.py:583-628: KFold(5, shuffle, seed) over the sorted patient
+    list, or an explicit val_data_path."""
+    if cfg.val_data_path is not None and cfg.fold is not None:
+        raise ValueError("Specified a val_data_path when a fold split is "
+                         "specified is not possible")
+    train_files: List[Dict] = []
+    val_files: List[Dict] = []
+    if cfg.val_data_path:
+        db = create_database(cfg.val_data_path,
+                             required_modality=MODALITIES_WITH_SEG)
+        val_files = make_file_records(db, with_seg=True)
+    if cfg.train_data_path:
+        db = create_database(cfg.train_data_path,
+                             required_modality=MODALITIES_WITH_SEG)
+        ids = list(db)
+        train_id, val_id = (ids, []) if (cfg.fold is None or cfg.val_data_path) \
+            else kfold_split(ids, cfg.fold, 5, cfg.seed)
+        recs = make_file_records(db, with_seg=True)
+        train_files = [r for r in recs if r["patient_id"] in set(train_id)]
+        if not cfg.val_data_path:
+            val_files = [r for r in recs if r["patient_id"] in set(val_id)]
+    if not train_files and not val_files:
+        raise ValueError("train files and val files are empty")
+    return train_files, val_files
+
+
+def make_train_val_loaders(cfg: Any, train_in_val_mode: bool = False
+                           ) -> Tuple[Optional[TrainLoader], Optional[EvalLoader]]:
+    """definer.py:438-527 equivalent."""
+    train_files, val_files = create_train_val_records(cfg)
+    needs_dm = "boundary" in cfg.criterion
+    train_loader = None
+    if train_files and not train_in_val_mode:
+        train_ds = BraTSDataset(train_files, with_seg=True,
+                                remove_outliers=cfg.remove_outliers,
+                                compute_distance_map=needs_dm,
+                                already_preprocess=cfg.already_preprocess)
+        train_loader = TrainLoader(train_ds, cfg.batch_size, cfg.patch_size,
+                                   seed=cfg.seed, num_workers=cfg.num_workers)
+    eval_files = train_files if train_in_val_mode else val_files
+    val_loader = None
+    if eval_files:
+        val_ds = BraTSDataset(eval_files, with_seg=True,
+                              remove_outliers=cfg.remove_outliers,
+                              compute_distance_map=needs_dm,
+                              already_preprocess=cfg.already_preprocess)
+        val_loader = EvalLoader(val_ds, num_workers=max(cfg.num_workers // 2, 1))
+    return train_loader, val_loader
+
+
+def make_test_loader(cfg: Any) -> Optional[EvalLoader]:
+    """definer.py:554-580: no seg, crop + plain z-score normalize."""
+    if getattr(cfg, "docker_test", False):
+        db = create_database_test_docker(cfg.test_data_path,
+                                         required_modality=MODALITIES)
+    else:
+        db = create_database(cfg.test_data_path, required_modality=MODALITIES)
+    records = make_file_records(db, with_seg=False)
+    if not records:
+        return None
+    ds = BraTSDataset(records, with_seg=False, remove_outliers=False)
+    return EvalLoader(ds, num_workers=max(getattr(cfg, "num_workers", 2) // 2, 1))

@@ -39,5 +39,5 @@ def synthetic_case(tmp_path_factory):
     framework's own generator."""
     from brats21_tpu.data.synthetic import generate_synthetic_dataset
     root = tmp_path_factory.mktemp("brats_synth")
-    generate_synthetic_dataset(str(root), num_cases=3, shape=(48, 48, 32), seed=0)
+    generate_synthetic_dataset(str(root), num_cases=5, shape=(48, 48, 32), seed=0)
     return str(root)
