@@ -1,0 +1,89 @@
+"""Inference driver — reference src/main_inference.py:24-96: load N trained
+configs/checkpoints as an ensemble, evaluate one pass over train/val/test
+with TTA / STAPLE / post-processing, save NIfTI segs + Evaluation xlsx."""
+
+from __future__ import annotations
+
+import os
+import time
+from types import SimpleNamespace
+
+import jax
+
+from .. import set_main_logger
+from ..config import TrainConfig
+from ..data.pipeline import make_test_loader, make_train_val_loaders
+from ..learning.checkpoint import BEST_NAME, LAST_NAME, load_checkpoint
+from ..learning.engine import Engine
+from ..learning.losses import make_criterion
+from ..models import get_model
+from ..parallel.mesh import local_mesh
+from ..utils.reporting import EvaluationReport
+from .arguments import get_inference_args
+from .main_train import post_kwargs_from_cfg
+
+
+def load_member(ns) -> tuple:
+    """Build (model, variables) from one merged config namespace
+    (main_inference.py:62-69): SWA runs load swa_params from last_model,
+    others params from best_model."""
+    model = get_model(ns)
+    name = LAST_NAME if ns.swa_start else BEST_NAME
+    ckpt = load_checkpoint(os.path.join(ns.model_dir, name))
+    params = ckpt["swa_params"] if ns.swa_start else ckpt["params"]
+    variables = {"params": params}
+    if "batch_stats" in ckpt:
+        variables["batch_stats"] = ckpt["batch_stats"]
+    return model, variables
+
+
+def main(argv=None) -> None:
+    total_start = time.time()
+    config_dict, experience_name = get_inference_args(argv)
+    cfg0 = config_dict["config_0"]
+
+    os.makedirs(cfg0.save_path, exist_ok=True)
+    logger = set_main_logger(
+        os.path.join(cfg0.save_path, "logfile_inference.log"),
+        verbosity=max(cfg0.verbosity, 1))
+    logger.info("devices: %s", jax.devices())
+
+    cfg = TrainConfig.from_dict(vars(cfg0))
+    # carry inference-only flags the engine reads
+    for k in ("sliding_window_inference", "sliding_window_size",
+              "num_workers"):
+        setattr(cfg, k, getattr(cfg0, k))
+
+    if cfg0.on == "train":
+        _, loader = make_train_val_loaders(cfg, train_in_val_mode=True)
+    elif cfg0.on == "val":
+        _, loader = make_train_val_loaders(cfg)
+    else:
+        loader = make_test_loader(cfg0)
+    assert loader is not None, "no data found for inference"
+
+    criterion = make_criterion(cfg)
+    members = [load_member(ns) for ns in config_dict.values()]
+    logger.info("ensemble of %d member(s)", len(members))
+
+    engine = Engine(cfg, members[0][0], criterion, mesh=local_mesh())
+    report = EvaluationReport()
+    engine.evaluate(
+        members, loader, 0,
+        use_tta=bool(cfg0.tta),
+        save_seg=True,
+        output_path=os.path.join(cfg0.save_path,
+                                 f"Inference_segmentations_{cfg0.on}"),
+        perform_staple=bool(cfg0.perform_staple),
+        staple_threshold=cfg0.staple_threshold,
+        post_kwargs=post_kwargs_from_cfg(cfg0),
+        report=report if cfg0.on in ("val", "train") else None,
+        step_mode=f"metric_{cfg0.on}")
+    if cfg0.on in ("val", "train"):
+        report.save(cfg0.save_path,
+                    name=f"Evaluation_inference_{cfg0.on}{experience_name}")
+    logger.info("total time: %.1fs", time.time() - total_start)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Training driver — reference src/main_train.py:34-243 flow on the TPU
+engine: config → loaders → model/criterion/optimizer → epoch loop with
+val every ``val_frequency`` → best/last checkpoints → optional end-of-training
+evaluation with and without TTA + hparams table."""
+
+from __future__ import annotations
+
+import os
+import time
+import warnings
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from .. import set_main_logger
+from ..config import TrainConfig, make_experience_name
+from ..data.pipeline import make_train_val_loaders
+from ..learning.checkpoint import (BEST_NAME, LAST_NAME, CheckpointManager,
+                                   load_checkpoint, resume_state)
+from ..learning.engine import Engine
+from ..learning.losses import make_criterion
+from ..learning.optimizers import make_optimizer
+from ..learning.train_state import create_train_state
+from ..models import get_model
+from ..parallel.mesh import local_mesh
+from ..utils.meter import AverageMeter, ProgressMeter
+from ..utils.reporting import EvaluationReport, TensorBoardLogger
+from .arguments import get_train_args
+
+
+def post_kwargs_from_cfg(cfg) -> dict:
+    """get_post_transforms flags (definer.py:671-698)."""
+    return dict(
+        logit_thresh=getattr(cfg, "logit_threshold", 0.5),
+        cleaning_areas=getattr(cfg, "cleaning_areas", False),
+        cleaning_areas_threshold=getattr(cfg, "cleaning_areas_threshold", 10),
+        replace_value=getattr(cfg, "replace_value", False),
+        replace_value_threshold=getattr(cfg, "replace_value_threshold", 20),
+    )
+
+
+def setup_save_path(cfg: TrainConfig) -> dict:
+    """Experiment dir naming incl. the too-long-filename fallback
+    (main_train.py:47-64)."""
+    experience_name, h_params = make_experience_name(cfg)
+    original = cfg.save_path
+    if cfg.resume:
+        cfg.save_path = os.path.dirname(cfg.resume.rstrip("/"))
+        return h_params
+    cfg.save_path = os.path.join(
+        original, experience_name if not cfg.no_full_name else "")
+    try:
+        os.makedirs(cfg.save_path, exist_ok=True)
+    except OSError:
+        warnings.warn("Automatic file name with args is too long, replace "
+                      "with the current date and time")
+        cfg.save_path = os.path.join(
+            original, datetime.now().strftime("%b%d_%H-%M-%S-%f"))
+        os.makedirs(cfg.save_path, exist_ok=True)
+    return h_params
+
+
+def main(argv=None) -> None:
+    total_start = time.time()
+    cfg = get_train_args(argv)
+    h_params = setup_save_path(cfg)
+
+    if not cfg.resume:
+        cfg.to_yaml(os.path.join(cfg.save_path, "config.yaml"))
+
+    logger = set_main_logger(os.path.join(cfg.save_path, "logfile.log"),
+                             verbosity=max(cfg.verbosity, 1))
+    logger.info("devices: %s", jax.devices())
+
+    train_loader, valid_loader = make_train_val_loaders(cfg)
+    steps_per_epoch = max(len(train_loader), 1) if train_loader else 1
+
+    model = get_model(cfg)
+    criterion = make_criterion(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    mesh = local_mesh()
+    tb = TensorBoardLogger(cfg.save_path, enabled=not cfg.no_tensorboard)
+    engine = Engine(cfg, model, criterion, mesh=mesh, tb=tb)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    patch = [p if p > 0 else 128 for p in cfg.patch_size]
+    sample = np.zeros((max(cfg.batch_size, 1), *patch, 4), np.float32)
+    state = create_train_state(model, tx, rng, sample,
+                               use_swa=cfg.swa_start is not None)
+
+    ckpt = CheckpointManager(cfg.save_path, save_on=cfg.save_on,
+                             key_metric=cfg.key_metric[0])
+    start_epoch = 1
+    if cfg.resume is not None:
+        state, last_epoch = resume_state(state, load_checkpoint(cfg.resume))
+        start_epoch = last_epoch + 1
+        logger.info("resumed from %s at epoch %d", cfg.resume, last_epoch)
+
+    epoch_time = AverageMeter("Time", ":6.3f")
+    progress = ProgressMeter(cfg.epochs, [epoch_time], prefix="Epoch: ")
+    post_kwargs = post_kwargs_from_cfg(cfg)
+
+    if not cfg.only_evaluate:
+        logger.info("Time elapsed before training: %.1fs",
+                    time.time() - total_start)
+        t0 = time.time()
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            train_meters = None
+            if not cfg.debug_val:
+                state, train_meters = engine.train_epoch(
+                    state, train_loader, epoch, rng)
+            epoch_time.update(time.time() - t0)
+            t0 = time.time()
+            progress.display(epoch)
+
+            if cfg.fold is not None and epoch % cfg.val_frequency == 0 \
+                    and valid_loader is not None:
+                val_meters = engine.evaluate(
+                    [{"params": state.params}], valid_loader, epoch,
+                    post_kwargs=post_kwargs)
+                value = (val_meters["loss"].avg if cfg.save_on == "loss"
+                         else float(np.nanmean(
+                             val_meters[cfg.key_metric[0]].avg)))
+                ckpt.save(state, epoch, float(value))
+                if train_meters is not None:
+                    tb.log_scalar("Loss/overfit",
+                                  val_meters["loss"].avg
+                                  - train_meters["loss"].avg, epoch)
+            if cfg.fold is None and train_meters is not None:
+                ckpt.save(state, epoch, float(train_meters["loss"].avg))
+
+    if cfg.evaluate_end_training or cfg.only_evaluate:
+        # reload best (or last for SWA) and evaluate ± TTA (main_train.py:197-243)
+        name = LAST_NAME if cfg.swa_start else BEST_NAME
+        loaded = load_checkpoint(os.path.join(cfg.save_path, name))
+        params = loaded["swa_params"] if cfg.swa_start else loaded["params"]
+        variables = {"params": params}
+        if "batch_stats" in loaded:
+            variables["batch_stats"] = loaded["batch_stats"]
+        for eval_type in ("", "_tta"):
+            logger.info("Starting Evaluation %s", eval_type)
+            engine.val_step = 0
+            report = EvaluationReport()
+            meters = engine.evaluate(
+                [variables], valid_loader, 0, use_tta=bool(eval_type),
+                save_seg=True,
+                output_path=os.path.join(cfg.save_path,
+                                         f"segmentations{eval_type}"),
+                post_kwargs=post_kwargs, report=report,
+                step_mode="metric_val")
+            suffix = f"_swa{eval_type}" if cfg.swa_start else eval_type
+            report.save(cfg.save_path, name=f"Evaluation{suffix}")
+            metric_summary = {
+                f"{k}_mean": float(np.nanmean(m.avg))
+                for k, m in meters.items()
+                if k not in ("batch_time",)}
+            tb.log_hparams({**h_params, "tta": bool(eval_type),
+                            "swa": cfg.swa_start is not None}, metric_summary)
+    tb.close()
+    logger.info("total time: %.1fs", time.time() - total_start)
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,7 @@ def safe_file_name(name: str) -> str:
 
 def make_experience_name(cfg: TrainConfig, add_current_date_time: bool = True,
                          extra_groups: Optional[Dict[str, Dict[str, Any]]] = None,
+                         include_base: bool = True,
                          ) -> Tuple[str, Dict[str, Any]]:
     """Build the run-directory name from the grouped config, byte-compatible
     with reference definer.py:411-435 (category order model/training/
@@ -168,7 +169,7 @@ def make_experience_name(cfg: TrainConfig, add_current_date_time: bool = True,
     result = []
     groups: Dict[str, Dict[str, Any]] = {
         name: {k: getattr(cfg, k) for k in keys} for name, keys in _GROUPS.items()
-    }
+    } if include_base else {}
     if extra_groups:
         groups.update(extra_groups)
     for category in ["model", "training", "optimizer & lr", "processing"]:

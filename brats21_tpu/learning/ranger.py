@@ -81,7 +81,10 @@ def ranger(learning_rate: ScalarOrSchedule,
 
     def init(params: optax.Params) -> RangerState:
         zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
-        slow = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+        # force a copy: astype on an already-fp32 param aliases the buffer,
+        # which breaks donation of (params, opt_state) together
+        slow = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params)
         return RangerState(count=jnp.zeros([], jnp.int32), exp_avg=zeros,
                            exp_avg_sq=jax.tree_util.tree_map(jnp.copy, zeros),
                            slow=slow)

@@ -44,7 +44,8 @@ def create_train_state(model, tx: optax.GradientTransformation, rng: Array,
     batch_stats = variables.get("batch_stats", FrozenDict())
     opt_state = tx.init(params)
     swa_params = jax.tree_util.tree_map(
-        lambda p: jnp.asarray(p, jnp.float32), params) if use_swa else None
+        lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+        params) if use_swa else None
     return TrainState(step=jnp.zeros([], jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       swa_params=swa_params, swa_n=jnp.zeros([], jnp.int32),
