@@ -139,14 +139,18 @@ class BatchNorm(nn.Module):
     """BatchNorm3d equivalent (factory.py:186). Uses flax running stats with
     torch momentum 0.1 (flax momentum = 0.9), eps=1e-5."""
 
-    use_running_average: bool = False
+    use_running_average: Optional[bool] = None
     eps: float = 1e-5
     momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x: Array, use_running_average: Optional[bool] = None) -> Array:
-        ura = nn.merge_param("use_running_average", self.use_running_average,
-                             use_running_average)
+        if use_running_average is not None:
+            ura = use_running_average
+        elif self.use_running_average is not None:
+            ura = self.use_running_average
+        else:
+            ura = True  # eval-safe default; train step passes False explicitly
         return nn.BatchNorm(
             use_running_average=ura, momentum=self.momentum, epsilon=self.eps,
             dtype=jnp.float32, axis_name=None)(x)
@@ -349,12 +353,14 @@ def max_pool3d(x: Array, window: int = 2, stride: Optional[int] = None,
 
 def avg_pool3d(x: Array, window: int = 2, stride: Optional[int] = None) -> Array:
     stride = stride or window
-    summed = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add,
-        window_dimensions=(1, window, window, window, 1),
-        window_strides=(1, stride, stride, stride, 1),
-        padding="VALID")
-    return summed / np.prod([window] * 3)
+    if stride == window and all(s % window == 0 for s in x.shape[1:4]):
+        # reshape-mean: differentiable and fuses cleanly
+        b, d, h, w, c = x.shape
+        y = x.reshape(b, d // window, window, h // window, window,
+                      w // window, window, c)
+        return y.mean(axis=(2, 4, 6))
+    from flax import linen as _nn
+    return _nn.avg_pool(x, (window,) * 3, strides=(stride,) * 3)
 
 
 def max_avg_pool(x: Array, window: int = 2) -> Array:
