@@ -50,13 +50,22 @@ def edt_sq(mask: Array, sampling: Tuple[float, ...] = None) -> Array:
     ``distance_transform_edt(mask)**2`` semantics (distance to background).
 
     mask: bool array, any rank; sampling: per-axis voxel spacing.
+
+    On TPU each axis pass runs as a Pallas kernel with VMEM-resident lines
+    (ops/pallas/edt_kernel.py); on CPU the scanned XLA envelope is used.
     """
+    from .pallas import enabled as pallas_enabled
+    use_pallas = pallas_enabled()
     ndim = mask.ndim
     sampling = sampling or (1.0,) * ndim
     f = jnp.where(mask, _INF, 0.0).astype(jnp.float32)
     for ax in range(ndim):
         f = jnp.moveaxis(f, ax, -1)
-        f = _envelope_1d(f, float(sampling[ax]))
+        if use_pallas:
+            from .pallas.edt_kernel import envelope_last_axis
+            f = envelope_last_axis(f, float(sampling[ax]))
+        else:
+            f = _envelope_1d(f, float(sampling[ax]))
         f = jnp.moveaxis(f, -1, ax)
     return f
 
