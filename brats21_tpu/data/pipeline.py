@@ -61,6 +61,13 @@ class BraTSDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         record = self.records[idx]
+        sample = self._getitem_native(record)
+        if sample is None:
+            sample = self._getitem_numpy(record)
+        sample["patient_id"] = record["patient_id"]
+        return sample
+
+    def _getitem_numpy(self, record: Dict[str, Any]) -> Dict[str, Any]:
         img, seg, affine = load_case(record)
         if not self.with_seg:
             seg = None
@@ -72,8 +79,40 @@ class BraTSDataset:
             sample = preprocess_case(img, seg, remove_outliers=self.remove_outliers,
                                      crop=self.crop,
                                      compute_distance_map=self.compute_distance_map)
-        sample["patient_id"] = record["patient_id"]
         sample["affine"] = affine
+        return sample
+
+    def _getitem_native(self, record: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        """C++ fast path (native/nifti_native.cc): threaded decode + crop +
+        normalize in one call; seg stays on the numpy path (tiny uint8)."""
+        from . import native
+        if self.already_preprocess or not native.available():
+            return None
+        out = native.load_case_native(
+            record["img"], crop=self.crop, normalize=True,
+            remove_outliers=self.remove_outliers)
+        if out is None:
+            return None
+        sample: Dict[str, Any] = {
+            "img": out["img"],
+            "foreground_start_coord": out["foreground_start_coord"],
+            "foreground_end_coord": out["foreground_end_coord"],
+            "original_shape": out["original_shape"],
+            "affine": out["affine"],
+        }
+        if self.with_seg and "seg" in record:
+            from .transforms import brats_labels_to_multichannel
+            seg = np.asarray(read_nifti(record["seg"]).data)
+            seg_mc = brats_labels_to_multichannel(seg)
+            s = out["foreground_start_coord"]
+            e = out["foreground_end_coord"]
+            seg_mc = seg_mc[s[0]:e[0], s[1]:e[1], s[2]:e[2]]
+            sample["seg"] = seg_mc
+            if self.compute_distance_map:
+                from ..ops.edt import one_hot2dist
+                import jax.numpy as jnp
+                dm = one_hot2dist(jnp.moveaxis(jnp.asarray(seg_mc), -1, 0))
+                sample["distance_map"] = np.moveaxis(np.asarray(dm), 0, -1)
         return sample
 
 
