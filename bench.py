@@ -51,12 +51,21 @@ def preprocess(img: np.ndarray):
 
 
 def bench_tpu() -> float:
-    """volumes/min for the jitted full pipeline on the available accelerator."""
+    """volumes/min for the jitted full pipeline on the available accelerator.
+
+    Transfer-lean end-to-end: fp16 over the wire in (cast to bf16 on
+    device), single-channel uint8 BraTS label map out; two volumes kept in
+    flight so H2D/compute/D2H pipeline (the reference synchronizes per TTA
+    member, engine.py:234-239 — here even the host boundary overlaps).
+    """
     import jax
     import jax.numpy as jnp
 
     from brats21_tpu.config import TrainConfig
     from brats21_tpu.models import get_model
+    from brats21_tpu.ops.postprocess import (change_label_3_to_4,
+                                             multichannel_to_brats,
+                                             threshold_probs)
 
     cfg = TrainConfig(model="equiunet_assp_evo", width=WIDTH)
     model = get_model(cfg)
@@ -73,19 +82,27 @@ def bench_tpu() -> float:
         out, _ = model.apply(vars_, vol.astype(jnp.bfloat16),
                              deterministic=True)
         probs = jax.nn.sigmoid(out.astype(jnp.float32))
-        return (probs >= 0.5).astype(jnp.uint8)
+        labels = change_label_3_to_4(
+            multichannel_to_brats(threshold_probs(probs)))
+        return labels.astype(jnp.uint8)
 
-    vol = jnp.asarray(padded)[None]
-    # warmup/compile
+    # distinct per-volume host buffers so no transfer caching can hide IO
+    vols = [(padded + np.float32(i * 1e-3)).astype(np.float16)[None]
+            for i in range(max(N_VOLUMES, 2))]
+
     t0 = time.time()
-    np.asarray(infer(variables, vol))
+    np.asarray(infer(variables, jnp.asarray(vols[0])))
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     t0 = time.time()
+    inflight = []
     for i in range(N_VOLUMES):
-        # include H2D + D2H in the end-to-end timing
-        vol_i = jnp.asarray(padded)[None]
-        labels = np.asarray(infer(variables, vol_i))
+        dev = jnp.asarray(vols[i % len(vols)])
+        inflight.append(infer(variables, dev))
+        if len(inflight) > 2:  # keep 2 in flight; drain oldest to host
+            np.asarray(inflight.pop(0))
+    for r in inflight:
+        np.asarray(r)
     dt = time.time() - t0
     vpm = N_VOLUMES / dt * 60.0
     log(f"tpu: {N_VOLUMES} volumes in {dt:.2f}s -> {vpm:.2f} volumes/min")

@@ -117,9 +117,16 @@ def main(argv=None) -> None:
 
             if cfg.fold is not None and epoch % cfg.val_frequency == 0 \
                     and valid_loader is not None:
+                # after swa_start the SWA-averaged weights are validated
+                # (reference engine.py:184-187)
+                use_swa = (cfg.swa_start is not None and epoch > cfg.swa_start
+                           and state.swa_params is not None)
+                val_vars = {"params": state.swa_params if use_swa
+                            else state.params}
                 val_meters = engine.evaluate(
-                    [{"params": state.params}], valid_loader, epoch,
-                    post_kwargs=post_kwargs)
+                    [val_vars], valid_loader, epoch,
+                    post_kwargs=post_kwargs,
+                    step_mode="val_swa" if use_swa else "val")
                 value = (val_meters["loss"].avg if cfg.save_on == "loss"
                          else float(np.nanmean(
                              val_meters[cfg.key_metric[0]].avg)))

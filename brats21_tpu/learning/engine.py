@@ -58,7 +58,8 @@ class Engine:
         self.train_step_fn = make_train_step(
             criterion, use_amp=not cfg.no_amp,
             has_batch_stats=(cfg.norm == "batch"),
-            has_dropout=cfg.dropout > 0)
+            has_dropout=cfg.dropout > 0,
+            log_metrics=getattr(cfg, "log_train_metrics", False))
         self.global_step = 0
         self.val_step = 0
         self._eval_cache: Dict[Tuple, Callable] = {}
@@ -74,8 +75,12 @@ class Engine:
         data_time = AverageMeter("data", ":6.3f")
         losses = AverageMeter("loss", ":.4e")
         gnorms = AverageMeter("grad_norm", ":.3f")
-        progress = ProgressMeter(len(loader), [batch_time, data_time, losses,
-                                               gnorms],
+        meters = [batch_time, data_time, losses, gnorms]
+        dice_meter = None
+        if getattr(cfg, "log_train_metrics", False):
+            dice_meter = AverageMeter("dice", ":.4f")
+            meters.append(dice_meter)
+        progress = ProgressMeter(len(loader), meters,
                                  prefix=f"Epoch: [{epoch}]")
         t0 = time.time()
         for i, batch in enumerate(loader):
@@ -91,6 +96,8 @@ class Engine:
 
             losses.update(float(metrics["loss"]), n=batch["img"].shape[0])
             gnorms.update(float(metrics["grad_norm"]))
+            if dice_meter is not None and "dice" in metrics:
+                dice_meter.update(np.asarray(metrics["dice"]))
             batch_time.update(time.time() - t0)
             t0 = time.time()
 
@@ -282,8 +289,12 @@ class Engine:
 
             if save_seg:
                 assert output_path, "if save_seg, output_path is needed"
+                case_dir = output_path
+                if getattr(cfg, "create_patient_dir", False):
+                    case_dir = os.path.join(output_path,
+                                            batch["patient_id"][0])
                 self._save_segmentation(batch, np.asarray(fused[0]), p_b, p_a,
-                                        output_path, suffix_seg_name)
+                                        case_dir, suffix_seg_name)
 
         self.tb.log_meters(epoch, [losses, *metric_meters.values()],
                            step_mode=f"{step_mode}_epoch")

@@ -54,10 +54,12 @@ def create_train_state(model, tx: optax.GradientTransformation, rng: Array,
 
 def make_train_step(criterion: LossFn, use_amp: bool = True,
                     has_batch_stats: bool = False, has_dropout: bool = False,
-                    ) -> Callable:
+                    log_metrics: bool = False) -> Callable:
     """Build the jitted train step: forward (bf16) → deep-supervision loss →
     grad → optimizer update. ``target`` is seg or (seg, dist_map) for the
-    boundary losses."""
+    boundary losses. With ``log_metrics`` the step also reports per-channel
+    batch Dice of the main head (reference log_train_metrics,
+    arguments_train.py:158)."""
 
     def _loss(params, batch_stats, apply_fn, img, target, rng):
         x = img.astype(jnp.bfloat16) if use_amp else img
@@ -74,21 +76,30 @@ def make_train_step(criterion: LossFn, use_amp: bool = True,
             outputs = apply_fn(variables, x, **kwargs)
             new_bs = batch_stats
         loss = deep_supervision_loss(criterion, outputs, target)
-        return loss, new_bs
+        main = outputs[0] if isinstance(outputs, tuple) else outputs
+        if isinstance(main, (list, tuple)):
+            main = main[0]
+        return loss, (new_bs, main)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img: Array, target: Any, rng: Array
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         grad_fn = jax.value_and_grad(_loss, has_aux=True)
-        (loss, new_bs), grads = grad_fn(state.params, state.batch_stats,
-                                        state.apply_fn, img, target, rng)
+        (loss, (new_bs, main)), grads = grad_fn(
+            state.params, state.batch_stats, state.apply_fn, img, target, rng)
         updates, new_opt_state = state.tx.update(grads, state.opt_state,
                                                  state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        if log_metrics:
+            from ..utils.metrics import dice_metric
+            seg = target[0] if isinstance(target, tuple) else target
+            pred = (jax.nn.sigmoid(main.astype(jnp.float32)) >= 0.5)
+            metrics["dice"] = dice_metric(pred, seg).mean(axis=0)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt_state)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        return new_state, metrics
 
     return train_step
 
