@@ -62,6 +62,19 @@ def one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
     return np.eye(num_classes, dtype=np.float32)[labels.astype(np.int64)]
 
 
+def convert_label(arr: np.ndarray, from_labels: Sequence[int],
+                  to_labels: Sequence[int]) -> np.ndarray:
+    """Generic label remapping (reference ConvertLabel(d),
+    transforms.py:50-92): each value in ``from_labels`` becomes the
+    corresponding ``to_labels`` entry; other values pass through."""
+    if len(from_labels) != len(to_labels):
+        raise ValueError("from_labels and to_labels length mismatch")
+    out = arr.copy()
+    for src, dst in zip(from_labels, to_labels):
+        out[arr == src] = dst
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Intensity (utils/transforms.py:271-480)
 # ---------------------------------------------------------------------------

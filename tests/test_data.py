@@ -146,3 +146,11 @@ def test_augmentations_preserve_shapes(rng):
     assert i3.shape == img.shape
     assert T.rand_adjust_contrast(g, 1.0, (0.5, 4.5), img).shape == img.shape
     assert T.rand_gaussian_smooth(g, 1.0, img).shape == img.shape
+
+
+def test_convert_label():
+    arr = np.array([[0, 1], [2, 4]], np.float32)
+    out = T.convert_label(arr, [4, 1], [3, 7])
+    np.testing.assert_array_equal(out, [[0, 7], [2, 3]])
+    with pytest.raises(ValueError):
+        T.convert_label(arr, [1], [2, 3])
