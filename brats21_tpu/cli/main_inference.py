@@ -51,7 +51,7 @@ def main(argv=None) -> None:
     cfg = TrainConfig.from_dict(vars(cfg0))
     # carry inference-only flags the engine reads
     for k in ("sliding_window_inference", "sliding_window_size",
-              "num_workers"):
+              "num_workers", "create_patient_dir"):
         setattr(cfg, k, getattr(cfg0, k))
 
     if cfg0.on == "train":

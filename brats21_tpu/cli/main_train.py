@@ -88,7 +88,7 @@ def main(argv=None) -> None:
     patch = [p if p > 0 else 128 for p in cfg.patch_size]
     sample = np.zeros((max(cfg.batch_size, 1), *patch, 4), np.float32)
     state = create_train_state(model, tx, rng, sample,
-                               use_swa=cfg.swa_start is not None)
+                               use_swa=bool(cfg.swa_start))
 
     ckpt = CheckpointManager(cfg.save_path, save_on=cfg.save_on,
                              key_metric=cfg.key_metric[0])
@@ -119,7 +119,7 @@ def main(argv=None) -> None:
                     and valid_loader is not None:
                 # after swa_start the SWA-averaged weights are validated
                 # (reference engine.py:184-187)
-                use_swa = (cfg.swa_start is not None and epoch > cfg.swa_start
+                use_swa = (bool(cfg.swa_start) and epoch > cfg.swa_start
                            and state.swa_params is not None)
                 val_vars = {"params": state.swa_params if use_swa
                             else state.params}
@@ -164,7 +164,7 @@ def main(argv=None) -> None:
                 for k, m in meters.items()
                 if k not in ("batch_time",)}
             tb.log_hparams({**h_params, "tta": bool(eval_type),
-                            "swa": cfg.swa_start is not None}, metric_summary)
+                            "swa": bool(cfg.swa_start)}, metric_summary)
     tb.close()
     logger.info("total time: %.1fs", time.time() - total_start)
 

@@ -106,8 +106,9 @@ class Engine:
                 self.tb.log_meters(self.global_step,
                                    [losses, gnorms], step_mode="train_step")
         self.tb.log_meters(epoch, [losses], step_mode="train_epoch")
-        # SWA (engine.py:151-159)
-        if cfg.swa_start is not None and epoch >= cfg.swa_start:
+        # SWA (engine.py:151-159); swa active iff swa_start truthy
+        # (reference main_train.py:113 `if args.swa_start`)
+        if cfg.swa_start and epoch >= cfg.swa_start:
             state = swa_update(state)
         return state, {"loss": losses, "batch_time": batch_time,
                        "data_time": data_time}

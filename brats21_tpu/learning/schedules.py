@@ -85,7 +85,7 @@ def swa_wrap(inner: optax.Schedule, cfg: Any, steps_per_epoch: int) -> optax.Sch
     """SWALR behaviour (main_train.py:113-115, engine.py:151-159): after
     swa_start the LR cosine-anneals from the base schedule's value to swa_lr
     over swa_anneal_epochs (torch SWALR anneal_strategy='cos')."""
-    if cfg.swa_start is None:
+    if not cfg.swa_start:
         return inner
     swa_start = int(cfg.swa_start)
     swa_lr = float(cfg.swa_lr)

@@ -51,7 +51,7 @@ def test_boundary_loss_training(tmp_path, synthetic_case):
 def test_swa_and_end_training_eval(tmp_path, synthetic_case):
     save = str(tmp_path / "runs_swa")
     argv = _base_argv(synthetic_case, save,
-                      **{"--epochs": "2", "--swa_start": "0"}, **_patch16())
+                      **{"--epochs": "2", "--swa_start": "1"}, **_patch16())
     argv += ["--evaluate_end_training"]
     train_main(argv)
     run = glob.glob(os.path.join(save, "*"))[0]
@@ -68,19 +68,21 @@ def quick_run(tmp_path_factory, synthetic_case):
     return glob.glob(os.path.join(save, "*"))[0]
 
 
-def test_staple_ensemble(quick_run, tmp_path):
+def test_staple_ensemble(quick_run, tmp_path, synthetic_case):
+    os.environ["SYNTH_CASE_DIR"] = synthetic_case
     out = str(tmp_path / "staple_out")
     argv = [
         "--config", os.path.join(quick_run, "config.yaml"),
         os.path.join(quick_run, "config.yaml"),   # 2-member ensemble
-        "--on", "val", "--output", out,
+        "--on", "val", "--val_data_path", os.environ["SYNTH_CASE_DIR"],
+        "--output", out,
         "--perform_staple", "--staple_threshold", "0.5",
         "--num_workers", "1",
     ]
     infer_main(argv)
     segs = glob.glob(os.path.join(out, "Inference_segmentations_val",
                                   "*.nii.gz"))
-    assert len(segs) == 1
+    assert len(segs) == 5  # explicit val_data_path -> all cases
 
 
 def test_sliding_window_inference_cli(quick_run, tmp_path):
