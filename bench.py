@@ -50,6 +50,15 @@ def preprocess(img: np.ndarray):
     return padded
 
 
+def preprocess_raw(img: np.ndarray):
+    """Crop only; normalization happens on-device (ops/preprocess.py).
+    Raw BraTS voxels are int16 — half the wire bytes of fp32."""
+    from brats21_tpu.data import transforms as T
+    cropped, _, _, _ = T.crop_foreground(img)
+    padded, _, _ = T.shape_to_divisible(cropped, k=8)
+    return np.round(padded).astype(np.int16)
+
+
 def bench_tpu() -> float:
     """volumes/min for the jitted full pipeline on the available accelerator.
 
@@ -66,12 +75,13 @@ def bench_tpu() -> float:
     from brats21_tpu.ops.postprocess import (change_label_3_to_4,
                                              multichannel_to_brats,
                                              threshold_probs)
+    from brats21_tpu.ops.preprocess import normalize_intensity_device
 
     cfg = TrainConfig(model="equiunet_assp_evo", width=WIDTH)
     model = get_model(cfg)
 
     img = make_case()
-    padded = preprocess(img)
+    padded = preprocess_raw(img)
     log(f"devices={jax.devices()} padded_shape={padded.shape}")
 
     x_init = jnp.zeros((1, *padded.shape), jnp.bfloat16)
@@ -79,15 +89,15 @@ def bench_tpu() -> float:
 
     @jax.jit
     def infer(vars_, vol):
-        out, _ = model.apply(vars_, vol.astype(jnp.bfloat16),
-                             deterministic=True)
+        x = normalize_intensity_device(vol).astype(jnp.bfloat16)
+        out, _ = model.apply(vars_, x, deterministic=True)
         probs = jax.nn.sigmoid(out.astype(jnp.float32))
         labels = change_label_3_to_4(
             multichannel_to_brats(threshold_probs(probs)))
         return labels.astype(jnp.uint8)
 
     # distinct per-volume host buffers so no transfer caching can hide IO
-    vols = [(padded + np.float32(i * 1e-3)).astype(np.float16)[None]
+    vols = [(padded + np.int16(i)).astype(np.int16)[None]
             for i in range(max(N_VOLUMES, 2))]
 
     t0 = time.time()

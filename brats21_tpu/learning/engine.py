@@ -227,7 +227,10 @@ class Engine:
             self.val_step += 1
 
             padded, p_b, p_a = self._pad_case(img_np, use_tta, bucket)
-            img_dev = jnp.asarray(padded)[None]
+            # fp16 over the wire (z-scored values fit comfortably); the
+            # eval fn casts to bf16/fp32 on device. Background masking
+            # relies on exact zeros, which fp16 preserves.
+            img_dev = jnp.asarray(padded.astype(np.float16))[None]
             with_target = target_np is not None
             target_dev = None
             if with_target:

@@ -51,6 +51,9 @@ def get_model(cfg: Any) -> nn.Module:
     if name == "equiunet_assp_evo_ref":
         return EquiUnetASSPEvo(**common, refinement=True)
 
+    # NOTE: the reference's dispatch for this family has a dead branch
+    # (definer.py:158 tests "att_equiunet" instead of "att_unet", so
+    # --model att_unet crashes there); fixed here.
     if name in ("modified_unet", "att_unet", "r2unet", "r2attunet"):
         from .unet_family import AttUnet, R2AttUnet, R2Unet, UnetFamily
         fam = {"modified_unet": UnetFamily, "att_unet": AttUnet,

@@ -191,3 +191,28 @@ def test_staple_multichannel_shape():
         .astype(np.float32))
     fused = staple_multichannel(members)
     assert fused.shape == (1, 6, 6, 6, 3)
+
+
+# ------------------------------------------------------- device preprocess
+
+def test_normalize_intensity_device_matches_host(rng):
+    from brats21_tpu.ops.preprocess import normalize_intensity_device
+    from brats21_tpu.data.transforms import normalize_intensity
+    img = np.zeros((10, 10, 8, 4), np.float32)
+    img[2:8, 2:8, 2:6, :] = np.round(
+        rng.random((6, 6, 4, 4)) * 100 + 1).astype(np.float32)
+    want = normalize_intensity(img, nonzero=True, channel_wise=True)
+    got = np.asarray(normalize_intensity_device(jnp.asarray(img)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # int16 input path (integer-valued data → identical result)
+    got16 = np.asarray(normalize_intensity_device(
+        jnp.asarray(img.astype(np.int16))))
+    np.testing.assert_allclose(got16, want, atol=1e-4)
+
+
+def test_normalize_intensity_device_outliers(rng):
+    from brats21_tpu.ops.preprocess import normalize_intensity_device
+    img = rng.normal(50, 10, (8, 8, 8, 1)).astype(np.float32)
+    img[0, 0, 0, 0] = 5000.0
+    out = np.asarray(normalize_intensity_device(jnp.asarray(img), True))
+    assert out.max() <= 3.0 and out.min() >= -3.0

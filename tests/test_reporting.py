@@ -1,0 +1,52 @@
+"""Reporting: xlsx writer, evaluation report, meters."""
+
+import zipfile
+
+import numpy as np
+
+from brats21_tpu.utils.meter import AverageMeter, ProgressMeter
+from brats21_tpu.utils.reporting import EvaluationReport
+from brats21_tpu.utils.xlsx import write_xlsx
+
+
+def test_xlsx_is_valid_zip(tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(p, {"metrics": [["a", "b"], ["x", 1.5], ["y", 2]],
+                   "stats": [["s"], ["mean"]]})
+    with zipfile.ZipFile(p) as z:
+        names = z.namelist()
+        assert "xl/workbook.xml" in names
+        assert "xl/worksheets/sheet1.xml" in names
+        assert "xl/worksheets/sheet2.xml" in names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        assert "1.5" in sheet and "x" in sheet
+
+
+def test_evaluation_report_stats(tmp_path):
+    rep = EvaluationReport()
+    rep.add("p1", {"Dice": np.array([[0.9, 0.8, 0.7]])})
+    rep.add("p2", {"Dice": np.array([[0.5, 0.6, 0.7]])})
+    stats = rep.describe()
+    assert abs(stats["Dice_WT"]["mean"] - 0.7) < 1e-9
+    assert stats["Dice_ET"]["min"] == 0.7
+    path = rep.save(str(tmp_path))
+    assert path.endswith("Evaluation.xlsx")
+    csv = (tmp_path / "Evaluation.csv").read_text().splitlines()
+    assert csv[0].startswith("patient_id,Dice_WT")
+    assert len(csv) == 3
+
+
+def test_average_meter_arrays():
+    m = AverageMeter("dice", ":.3f")
+    m.update(np.array([1.0, 0.5]))
+    m.update(np.array([0.0, 0.5]))
+    np.testing.assert_allclose(m.avg, [0.5, 0.5])
+    np.testing.assert_allclose(m.std, [0.5, 0.0])
+    assert "dice" in str(m)
+
+
+def test_progress_meter_format():
+    m = AverageMeter("loss", ":.2f")
+    m.update(1.0)
+    pm = ProgressMeter(10, [m], prefix="Epoch: ")
+    pm.display(3)  # logs; just ensure no crash
