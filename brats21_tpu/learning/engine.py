@@ -140,7 +140,8 @@ class Engine:
             return model.apply(variables, x, deterministic=True)
 
         def member_fn(variables, img, target):
-            x = img.astype(jnp.bfloat16) if use_amp else img
+            # wire dtype may be fp16; compute in bf16 (amp) or fp32
+            x = img.astype(jnp.bfloat16 if use_amp else jnp.float32)
             if sliding:
                 def predictor(win):
                     return apply_eval(variables, win)
@@ -200,7 +201,7 @@ class Engine:
                  perform_staple: bool = False, staple_threshold: float = 0.5,
                  post_kwargs: Optional[Dict[str, Any]] = None,
                  report: Optional[EvaluationReport] = None,
-                 step_mode: str = "val", bucket: int = 8,
+                 step_mode: str = "val", bucket: Optional[int] = None,
                  ) -> Dict[str, AverageMeter]:
         """Ensemble × TTA evaluation over an EvalLoader (engine.py:163-296).
 
@@ -219,6 +220,10 @@ class Engine:
                                  prefix=f"Epoch Valid: [{epoch}]")
         post_kwargs = post_kwargs or {}
         sliding = bool(cfg.sliding_window_inference)
+        if bucket is None:
+            # parity default 8 (engine.py:192); coarser buckets cut the
+            # number of distinct XLA compilations across cases
+            bucket = int(os.environ.get("BRATS21_EVAL_BUCKET", "8"))
 
         t0 = time.time()
         for batch_idx, batch in enumerate(loader):
