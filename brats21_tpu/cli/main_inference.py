@@ -47,6 +47,8 @@ def main(argv=None) -> None:
         os.path.join(cfg0.save_path, "logfile_inference.log"),
         verbosity=max(cfg0.verbosity, 1))
     logger.info("devices: %s", jax.devices())
+    from ..utils.profiling import maybe_enable_from_env
+    maybe_enable_from_env()
 
     cfg = TrainConfig.from_dict(vars(cfg0))
     # carry inference-only flags the engine reads

@@ -72,6 +72,8 @@ def main(argv=None) -> None:
     logger = set_main_logger(os.path.join(cfg.save_path, "logfile.log"),
                              verbosity=max(cfg.verbosity, 1))
     logger.info("devices: %s", jax.devices())
+    from ..utils.profiling import maybe_enable_from_env
+    maybe_enable_from_env()
 
     train_loader, valid_loader = make_train_val_loaders(cfg)
     steps_per_epoch = max(len(train_loader), 1) if train_loader else 1

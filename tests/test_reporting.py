@@ -50,3 +50,14 @@ def test_progress_meter_format():
     m.update(1.0)
     pm = ProgressMeter(10, [m], prefix="Epoch: ")
     pm.display(3)  # logs; just ensure no crash
+
+
+def test_profiling_annotate_smoke(tmp_path):
+    import jax.numpy as jnp
+    from brats21_tpu.utils import profiling
+    with profiling.annotate("test_scope"):
+        _ = jnp.ones(4) + 1
+    # capture writes a trace dir
+    with profiling.capture(str(tmp_path / "trace")):
+        _ = jnp.ones(4) * 2
+    assert (tmp_path / "trace").exists()
