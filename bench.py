@@ -109,7 +109,7 @@ def bench_tpu() -> float:
     for i in range(N_VOLUMES):
         dev = jnp.asarray(vols[i % len(vols)])
         inflight.append(infer(variables, dev))
-        if len(inflight) > 4:  # keep 4 in flight; drain oldest to host
+        if len(inflight) > 2:  # keep 2 in flight; drain oldest to host
             np.asarray(inflight.pop(0))
     for r in inflight:
         np.asarray(r)
