@@ -7,7 +7,7 @@ from __future__ import annotations
 import argparse
 import os
 from copy import deepcopy
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import yaml
 

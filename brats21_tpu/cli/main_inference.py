@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import os
 import time
-from types import SimpleNamespace
 
 import jax
 

@@ -6,7 +6,7 @@ BraTS naming convention (``<id>_{t1,t1ce,t2,flair,seg}.nii.gz``)."""
 from __future__ import annotations
 
 import os
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ executable per bucket instead of per case.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
@@ -26,11 +25,11 @@ import numpy as np
 from .. import get_logger
 from ..data import transforms as T
 from ..data.nifti import write_nifti
-from ..ops.postprocess import post_process, threshold_probs
+from ..ops.postprocess import post_process
 from ..ops.sliding_window import sliding_window_inference
 from ..ops.staple import staple_multichannel
 from ..ops.tta import tta_mean_probs
-from ..parallel.mesh import batch_sharding, local_mesh
+from ..parallel.mesh import local_mesh
 from ..utils.meter import AverageMeter, ProgressMeter
 from ..utils.metrics import compute_case_metrics
 from ..utils.reporting import EvaluationReport, TensorBoardLogger

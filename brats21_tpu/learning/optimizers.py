@@ -7,7 +7,7 @@ engine.py:442-452) compose as optax chain prefixes; gradient accumulation
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import optax
 

@@ -13,7 +13,7 @@ runs over all axes *except the last* (the output-feature axis).
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Union
+from typing import NamedTuple, Optional, Union
 
 import chex
 import jax

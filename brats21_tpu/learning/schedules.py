@@ -8,8 +8,7 @@ they drop straight into the jitted optimizer chain.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import optax

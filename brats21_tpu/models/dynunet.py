@@ -9,8 +9,6 @@ full resolution; in eval only the main head.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,7 @@ hyperparameters the reference passes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,6 @@ from flax import linen as nn
 
 from .layers import (Array, Conv3d, Dropout, GroupNorm, InstanceNorm,
                      get_act, get_norm_layer, max_pool3d, upsample)
-from .unet_family import upsample_nearest
 
 
 # ---------------------------------------------------------------------------

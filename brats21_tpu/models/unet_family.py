@@ -6,14 +6,14 @@ default, unet_family.py:43,170-172,231), unlike the trilinear equiunet line.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (Array, BatchNorm, Conv3d, get_act, get_norm_layer,
-                     kaiming_normal_fan_out, max_pool3d)
+                     max_pool3d)
 
 
 def upsample_nearest(x: Array, scale: int = 2) -> Array:

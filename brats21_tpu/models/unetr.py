@@ -10,13 +10,13 @@ at depths 3/6/9/12 and deconvolve back to voxel grids (UNETR paper layout).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Array, Conv3d, get_act, get_norm_layer
+from .layers import Array, Conv3d, get_norm_layer
 
 
 class MHSA(nn.Module):

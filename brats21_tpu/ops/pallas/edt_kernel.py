@@ -14,8 +14,6 @@ by transposition, which XLA handles as a layout change).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -17,7 +17,7 @@ skimage/scipy on the CPU (transforms.py:579-647). Here:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,7 @@ importance map with σ = 0.125·roi (:119-121), pad-to-roi then crop
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ matching staple_filter.SetMaximumIterations, transforms.py:675).
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -22,13 +22,12 @@ mesh (tests/test_parallel.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import tta as tta_ops
 from ..ops.sliding_window import (dense_patch_starts, gaussian_importance_map,

@@ -13,7 +13,7 @@ virtual CPU devices to exercise the collective paths.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

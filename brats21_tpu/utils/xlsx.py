@@ -9,7 +9,7 @@ inline-string/number worksheets, content types, rels — for the
 from __future__ import annotations
 
 import zipfile
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 from xml.sax.saxutils import escape
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
