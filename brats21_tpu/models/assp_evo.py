@@ -197,17 +197,20 @@ class EquiUnetASSPEvo(nn.Module):
     deep_supervision: bool = False
     dropout: float = 0.0
     refinement: bool = False
+    remat: bool = True  # rematerialize blocks: 128³ bf16 training fits HBM
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True):
         f = list(self.features)
         det = deterministic
-        down1 = ConvEvoBlockCorrected(f[0], self.dropout, name="encoder1")(x, det)
-        down2 = ConvEvoBlockCorrected(f[1], self.dropout, name="encoder2")(
+        Block = (nn.remat(ConvEvoBlockCorrected, static_argnums=(2,))
+                 if self.remat else ConvEvoBlockCorrected)
+        down1 = Block(f[0], self.dropout, name="encoder1")(x, det)
+        down2 = Block(f[1], self.dropout, name="encoder2")(
             max_avg_pool(down1), det)
-        down3 = ConvEvoBlockCorrected(f[2], self.dropout, name="encoder3")(
+        down3 = Block(f[2], self.dropout, name="encoder3")(
             max_avg_pool(down2), det)
-        down4 = ConvEvoBlockCorrected(f[3], self.dropout, name="encoder4")(
+        down4 = Block(f[3], self.dropout, name="encoder4")(
             max_avg_pool(down3), det)
         assp = SimpleASPPEVO(f[3] // 4, name="aspp")(down4, det)
 
@@ -216,13 +219,13 @@ class EquiUnetASSPEvo(nn.Module):
         down3b = ConvEvo(f[2] // 2, self.dropout, name="bridge3")(down3, det)
 
         up3 = upsample(ConvEvo(f[3] // 4, self.dropout, name="upconv3")(assp, det))
-        up3 = ConvEvoBlockCorrected(f[2], self.dropout, name="decoder3")(
+        up3 = Block(f[2], self.dropout, name="decoder3")(
             jnp.concatenate([down3b, up3], axis=-1), det)
         up2 = upsample(ConvEvo(f[2] // 4, self.dropout, name="upconv2")(up3, det))
-        up2 = ConvEvoBlockCorrected(f[1], self.dropout, name="decoder2")(
+        up2 = Block(f[1], self.dropout, name="decoder2")(
             jnp.concatenate([down2b, up2], axis=-1), det)
         up1 = upsample(ConvEvo(f[1] // 4, self.dropout, name="upconv1")(up2, det))
-        up1 = ConvEvoBlockCorrected(f[0], self.dropout, name="decoder1")(
+        up1 = Block(f[0], self.dropout, name="decoder1")(
             jnp.concatenate([down1b, up1], axis=-1), det)
 
         out = Conv3d(self.num_classes, 1, kernel_init=torch_default_conv,

@@ -255,33 +255,36 @@ class EquiUnet(nn.Module):
     deep_supervision: bool = False
     dropout: float = 0.0
     refinement: bool = False
+    remat: bool = True  # rematerialize blocks for 128³ training memory
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True):
         f = list(self.features)
         det = deterministic
-        down1 = UBlock(f[0], f[0], self.act, self.norm, dropout=self.dropout,
+        UBlock_ = (nn.remat(UBlock, static_argnums=(2,)) if self.remat
+                   else UBlock)
+        down1 = UBlock_(f[0], f[0], self.act, self.norm, dropout=self.dropout,
                        name="encoder1")(x, det)
-        down2 = UBlock(f[1], f[1], self.act, self.norm, dropout=self.dropout,
+        down2 = UBlock_(f[1], f[1], self.act, self.norm, dropout=self.dropout,
                        name="encoder2")(max_pool3d(down1), det)
-        down3 = UBlock(f[2], f[2], self.act, self.norm, dropout=self.dropout,
+        down3 = UBlock_(f[2], f[2], self.act, self.norm, dropout=self.dropout,
                        name="encoder3")(max_pool3d(down2), det)
-        down4 = UBlock(f[3], f[3], self.act, self.norm, dropout=self.dropout,
+        down4 = UBlock_(f[3], f[3], self.act, self.norm, dropout=self.dropout,
                        name="encoder4")(max_pool3d(down3), det)
 
-        bottom = UBlock(f[3], f[3], self.act, self.norm, (2, 2),
+        bottom = UBlock_(f[3], f[3], self.act, self.norm, (2, 2),
                         dropout=self.dropout, name="bottom")(down4, det)
         bottom_2 = ConvBnRelu(f[2], self.act, self.norm, dropout=self.dropout,
                               name="bottom_2")(
             jnp.concatenate([down4, bottom], axis=-1), det)
 
-        up3 = UBlock(f[2], f[1], self.act, self.norm, dropout=self.dropout,
+        up3 = UBlock_(f[2], f[1], self.act, self.norm, dropout=self.dropout,
                      name="decoder3")(
             jnp.concatenate([down3, upsample(bottom_2)], axis=-1), det)
-        up2 = UBlock(f[1], f[0], self.act, self.norm, dropout=self.dropout,
+        up2 = UBlock_(f[1], f[0], self.act, self.norm, dropout=self.dropout,
                      name="decoder2")(
             jnp.concatenate([down2, upsample(up3)], axis=-1), det)
-        up1 = UBlock(f[0], f[0], self.act, self.norm, dropout=self.dropout,
+        up1 = UBlock_(f[0], f[0], self.act, self.norm, dropout=self.dropout,
                      name="decoder1")(
             jnp.concatenate([down1, upsample(up2)], axis=-1), det)
 
