@@ -138,19 +138,36 @@ class Engine:
         def apply_eval(variables, x):
             return model.apply(variables, x, deterministic=True)
 
+        n_dev = self.mesh.shape["data"]
+
         def member_fn(variables, img, target):
             # wire dtype may be fp16; compute in bf16 (amp) or fp32
             x = img.astype(jnp.bfloat16 if use_amp else jnp.float32)
             if sliding:
                 def predictor(win):
                     return apply_eval(variables, win)
-                logits = sliding_window_inference(x, roi, predictor,
-                                                  sw_batch_size=2)
+                if n_dev > 1:
+                    from ..parallel.distributed import sharded_sliding_window
+                    logits = sharded_sliding_window(self.mesh, predictor, x,
+                                                    roi)
+                else:
+                    logits = sliding_window_inference(x, roi, predictor,
+                                                      sw_batch_size=2)
                 loss = (deep_supervision_loss(self.criterion, logits, target)
                         if with_target else jnp.zeros([], jnp.float32))
                 return jax.nn.sigmoid(logits.astype(jnp.float32)), loss
             if use_tta:
                 apply_fn = lambda v: apply_eval(variables, v)
+                if n_dev > 1:
+                    # fan the 16 combos over the mesh (parallel/distributed);
+                    # the val loss comes from one plain forward (cheap next
+                    # to 16 TTA members)
+                    from ..parallel.distributed import sharded_tta_probs
+                    probs = sharded_tta_probs(self.mesh, apply_fn, x)
+                    loss = (deep_supervision_loss(
+                        self.criterion, apply_fn(x), target)
+                        if with_target else jnp.zeros([], jnp.float32))
+                    return probs, loss
                 probs, loss = tta_mean_probs(
                     apply_fn, x,
                     criterion=self.criterion if with_target else None,

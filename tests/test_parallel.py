@@ -102,3 +102,31 @@ def test_halo_exchange_reconstructs(space_mesh, rng):
     xs = np.asarray(x)
     # shard 1 (planes 4..7) extended = planes 3..8 of the full volume
     np.testing.assert_allclose(out[:, 6:12], xs[:, 3:9], atol=1e-6)
+
+
+def test_engine_eval_uses_sharded_tta(mesh, rng):
+    """Engine's TTA eval on a multi-device mesh matches the serial fold."""
+    import jax.numpy as jnp
+    from brats21_tpu.config import TrainConfig
+    from brats21_tpu.learning.engine import Engine
+    from brats21_tpu.learning.losses import make_criterion
+    from brats21_tpu.models import get_model
+
+    cfg = TrainConfig(model="equiunet", width=4, criterion="dice",
+                      no_amp=True)
+    model = get_model(cfg)
+    x = jnp.asarray(rng.random((1, 16, 16, 8, 4)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    engine_multi = Engine(cfg, model, make_criterion(cfg), mesh=mesh)
+    fn_multi = engine_multi._get_eval_fn(model, x.shape, use_tta=True,
+                                         sliding=False, with_target=False)
+    from brats21_tpu.parallel.mesh import make_mesh
+    single = make_mesh(jax.devices()[:1], data=1, space=1)
+    engine_one = Engine(cfg, model, make_criterion(cfg), mesh=single)
+    fn_one = engine_one._get_eval_fn(model, x.shape, use_tta=True,
+                                     sliding=False, with_target=False)
+    p_multi, _ = fn_multi(variables, x)
+    p_one, _ = fn_one(variables, x)
+    np.testing.assert_allclose(np.asarray(p_multi), np.asarray(p_one),
+                               atol=2e-4)
