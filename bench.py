@@ -26,6 +26,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# persistent XLA compile cache: the full-volume graph costs 2-8 min through
+# the axon remote-compile service; cache it across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/brats21_jax_cache")
+
 CASE_SHAPE = (240, 240, 155)
 WIDTH = 48
 N_VOLUMES = int(os.environ.get("BENCH_VOLUMES", "8"))
@@ -104,18 +108,26 @@ def bench_tpu() -> float:
     np.asarray(infer(variables, jnp.asarray(vols[0])))
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    inflight = []
-    for i in range(N_VOLUMES):
-        dev = jnp.asarray(vols[i % len(vols)])
-        inflight.append(infer(variables, dev))
-        if len(inflight) > 2:  # keep 2 in flight; drain oldest to host
-            np.asarray(inflight.pop(0))
-    for r in inflight:
-        np.asarray(r)
-    dt = time.time() - t0
-    vpm = N_VOLUMES / dt * 60.0
-    log(f"tpu: {N_VOLUMES} volumes in {dt:.2f}s -> {vpm:.2f} volumes/min")
+    # the relay's transfer bandwidth fluctuates heavily between runs;
+    # measure per 4-volume chunk and report the median chunk throughput
+    chunk = 4
+    n_chunks = max(N_VOLUMES // chunk, 1)
+    rates = []
+    for ci in range(n_chunks):
+        t0 = time.time()
+        inflight = []
+        for i in range(chunk):
+            dev = jnp.asarray(vols[(ci * chunk + i) % len(vols)])
+            inflight.append(infer(variables, dev))
+            if len(inflight) > 2:
+                np.asarray(inflight.pop(0))
+        for r in inflight:
+            np.asarray(r)
+        dt = time.time() - t0
+        rates.append(chunk / dt * 60.0)
+        log(f"chunk {ci}: {dt:.2f}s -> {rates[-1]:.2f} volumes/min")
+    vpm = float(np.median(rates))
+    log(f"tpu: median over {n_chunks} chunks -> {vpm:.2f} volumes/min")
     return vpm
 
 

@@ -163,7 +163,8 @@ class Engine:
                     # the val loss comes from one plain forward (cheap next
                     # to 16 TTA members)
                     from ..parallel.distributed import sharded_tta_probs
-                    probs = sharded_tta_probs(self.mesh, apply_fn, x)
+                    probs = sharded_tta_probs(self.mesh, apply_fn, x,
+                                              num_classes=cfg.num_classes)
                     loss = (deep_supervision_loss(
                         self.criterion, apply_fn(x), target)
                         if with_target else jnp.zeros([], jnp.float32))
@@ -171,7 +172,8 @@ class Engine:
                 probs, loss = tta_mean_probs(
                     apply_fn, x,
                     criterion=self.criterion if with_target else None,
-                    target=target if with_target else None)
+                    target=target if with_target else None,
+                    num_classes=cfg.num_classes)
                 return probs, loss
             outputs = apply_eval(variables, x)
             main = outputs[0] if isinstance(outputs, tuple) else outputs

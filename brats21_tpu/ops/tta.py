@@ -141,11 +141,12 @@ def tta_forward(apply_fn: Callable[[Array], Any], x: Array,
 def tta_mean_probs(apply_fn: Callable[[Array], Any], x: Array,
                    criterion: Optional[Callable] = None,
                    target: Any = None,
-                   axes: Sequence[str] = AXES) -> Tuple[Array, Array]:
+                   axes: Sequence[str] = AXES,
+                   num_classes: int = 3) -> Tuple[Array, Array]:
     """(mean sigmoid-probs of the main head, mean deep-supervision loss)
     over the 16 combos — the engine.py:229-249 fusion, without the per-combo
     D2H hop. Returns (probs, loss); loss is 0 when no target."""
-    probs0 = jnp.zeros(x.shape[:-1] + (3,), jnp.float32)
+    probs0 = jnp.zeros(x.shape[:-1] + (num_classes,), jnp.float32)
 
     def reduce(carry, out):
         probs_sum, loss_sum = carry

@@ -42,7 +42,7 @@ Array = jax.Array
 
 
 def sharded_tta_probs(mesh: Mesh, apply_fn: Callable[[Array], Any], x: Array,
-                      axis: str = "data") -> Array:
+                      axis: str = "data", num_classes: int = 3) -> Array:
     """Mean sigmoid-probability over the 16 TTA combos, with the per-
     orientation 8 (flip×rot) variants distributed round-robin over the mesh
     axis. Requires x.shape[1] == x.shape[2]. x is replicated."""
@@ -58,7 +58,7 @@ def sharded_tta_probs(mesh: Mesh, apply_fn: Callable[[Array], Any], x: Array,
 
     def per_device(xl: Array) -> Array:
         idx = jax.lax.axis_index(axis)
-        probs = jnp.zeros(xl.shape[:-1] + (3,), jnp.float32)
+        probs = jnp.zeros(xl.shape[:-1] + (num_classes,), jnp.float32)
         for axe in tta_ops.AXES:
             branches = []
             for f, r in fr:
