@@ -216,3 +216,32 @@ def test_normalize_intensity_device_outliers(rng):
     img[0, 0, 0, 0] = 5000.0
     out = np.asarray(normalize_intensity_device(jnp.asarray(img), True))
     assert out.max() <= 3.0 and out.min() >= -3.0
+
+
+# -------------------------------------------------- composable TTA (API parity)
+
+def test_tta_compose_matches_scan_path(rng):
+    from brats21_tpu.ops.tta_compose import default_compose
+    from brats21_tpu.ops.tta import tta_mean_probs
+    x = jnp.asarray(rng.random((1, 8, 8, 6, 3)), jnp.float32)
+    w = jnp.asarray(rng.random((3, 3)), jnp.float32)
+    model = lambda v: jnp.einsum("bxyzc,cd->bxyzd", v, w)
+    compose = default_compose()
+    assert len(compose) == 16
+    total = jnp.zeros_like(x)
+    for tr in compose:
+        out = model(tr.augment_image(x))
+        total = total + jax.nn.sigmoid(tr.deaugment_mask(out))
+    serial = total / 16
+    fast, _ = tta_mean_probs(model, x)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(serial), atol=1e-5)
+
+
+def test_tta_compose_inverse(rng):
+    from brats21_tpu.ops import tta_compose as tc
+    x = jnp.asarray(rng.random((1, 6, 6, 4, 2)), jnp.float32)
+    compose = tc.Compose([tc.OnAxes(["zxy", "xyz"]), tc.VerticalFlip(),
+                          tc.Rotate90([0, 90, 180, 270])])
+    for tr in compose:
+        back = tr.deaugment_mask(tr.augment_image(x))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
