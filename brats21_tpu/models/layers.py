@@ -150,7 +150,9 @@ class BatchNorm(nn.Module):
         elif self.use_running_average is not None:
             ura = self.use_running_average
         else:
-            ura = True  # eval-safe default; train step passes False explicitly
+            # convention: training mode iff the train step opened the
+            # batch_stats collection as mutable (train_state.make_train_step)
+            ura = not self.is_mutable_collection("batch_stats")
         return nn.BatchNorm(
             use_running_average=ura, momentum=self.momentum, epsilon=self.eps,
             dtype=jnp.float32, axis_name=None)(x)

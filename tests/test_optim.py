@@ -158,3 +158,24 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves0 = jax.tree_util.tree_leaves(state.params)
     for a, b in zip(leaves, leaves0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_batchnorm_updates_stats():
+    # batch-norm path: mutable batch_stats must update through the step
+    cfg = TrainConfig(model="equiunet", width=4, norm="batch",
+                      optimizer="adam", epochs=5, weight_decay=0.0)
+    model = get_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=5)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 16, 4)),
+                    jnp.float32)
+    seg = jnp.asarray((np.random.default_rng(1).random((2, 16, 16, 16, 3))
+                       > 0.5).astype(np.float32))
+    state = create_train_state(model, tx, rng, x)
+    assert state.batch_stats, "batch model should carry batch_stats"
+    before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    step = make_train_step(make_criterion(cfg), use_amp=False,
+                           has_batch_stats=True)
+    state, _ = step(state, x, seg, rng)
+    after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
