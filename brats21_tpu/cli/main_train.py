@@ -125,6 +125,8 @@ def main(argv=None) -> None:
                            and state.swa_params is not None)
                 val_vars = {"params": state.swa_params if use_swa
                             else state.params}
+                if state.batch_stats:
+                    val_vars["batch_stats"] = state.batch_stats
                 val_meters = engine.evaluate(
                     [val_vars], valid_loader, epoch,
                     post_kwargs=post_kwargs,

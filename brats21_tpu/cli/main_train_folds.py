@@ -97,6 +97,7 @@ def main(argv=None) -> None:
     state = stack_fold_states(make_state, fold_rngs, mesh)
 
     single_step = make_train_step(criterion, use_amp=not cfg.no_amp,
+                                  has_batch_stats=(cfg.norm == "batch"),
                                   has_dropout=cfg.dropout > 0)
     step_fn = make_fold_train_step(single_step, mesh)
 
@@ -118,7 +119,10 @@ def main(argv=None) -> None:
         if epoch % cfg.val_frequency == 0:
             for fold in range(N_FOLDS):
                 fstate = unstack_fold_state(state, fold)
-                meters = engine.evaluate([{"params": fstate.params}],
+                fold_vars = {"params": fstate.params}
+                if fstate.batch_stats:
+                    fold_vars["batch_stats"] = fstate.batch_stats
+                meters = engine.evaluate([fold_vars],
                                          val_loaders[fold], epoch,
                                          post_kwargs=post_kwargs,
                                          step_mode=f"val_fold{fold}")

@@ -344,6 +344,15 @@ def preprocess_case(img: np.ndarray, seg: Optional[np.ndarray],
     return sample
 
 
+def compute_distance_map(seg_mc: np.ndarray) -> np.ndarray:
+    """Signed boundary-loss map (OneHotToDistd, definer.py:455-456) for a
+    channels-last one-hot seg."""
+    from ..ops.edt import one_hot2dist
+    import jax.numpy as jnp
+    dm = one_hot2dist(jnp.moveaxis(jnp.asarray(seg_mc), -1, 0))
+    return np.moveaxis(np.asarray(dm), 0, -1)
+
+
 def augment_train_sample(sample: Dict[str, np.ndarray],
                          rng: np.random.Generator,
                          patch_size: Sequence[int],
@@ -361,11 +370,18 @@ def augment_train_sample(sample: Dict[str, np.ndarray],
     difference from augmenting normalized vs raw intensities is accepted and
     documented here.
     """
-    keys = [k for k in ("img", "seg", "distance_map") if k in sample]
+    keys = [k for k in ("img", "seg") if k in sample]
     arrays = [sample[k] for k in keys]
     patch = list(patch_size)
     if any(p > 0 for p in patch):
         arrays = [spatial_pad(a, patch) for a in arrays]
+    if "distance_map" in sample:
+        # the reference computes the map AFTER SpatialPadd (definer.py:452-456)
+        # so pad margins carry true positive distances; it then rides through
+        # the spatial augs with the seg
+        keys.append("distance_map")
+        arrays.append(compute_distance_map(arrays[keys.index("seg")]))
+    if any(p > 0 for p in patch):
         arrays = list(rand_spatial_crop(rng, patch, *arrays))
     arrays = list(rand_rotate90(rng, 0.7, (0, 2), *arrays))
     arrays = list(rand_flip(rng, 0.7, (0, 1, 2), *arrays))

@@ -143,6 +143,19 @@ class Engine:
         def member_fn(variables, img, target):
             # wire dtype may be fp16; compute in bf16 (amp) or fp32
             x = img.astype(jnp.bfloat16 if use_amp else jnp.float32)
+            if sliding and use_tta:
+                # TTA composes over the sliding-window inferer, as in the
+                # reference (_apply_tta -> _compute_output, engine.py:228-231)
+                def sw_apply(v):
+                    return sliding_window_inference(
+                        v, roi, lambda w: apply_eval(variables, w),
+                        sw_batch_size=2)
+                probs, loss = tta_mean_probs(
+                    sw_apply, x,
+                    criterion=self.criterion if with_target else None,
+                    target=target if with_target else None,
+                    num_classes=cfg.num_classes)
+                return probs, loss
             if sliding:
                 def predictor(win):
                     return apply_eval(variables, win)

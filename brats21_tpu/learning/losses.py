@@ -219,7 +219,10 @@ def boundary_loss(logits: Array, dist_maps: Array, *,
                   sigmoid: bool = True, softmax: bool = False,
                   reduction: str = "mean") -> Array:
     """Surface/Boundary loss (reference losses.py:296-358): mean of
-    probs · precomputed signed distance maps."""
+    probs · precomputed signed distance maps. A (seg, dist_map) pair is
+    unwrapped to the map (reference :315-317)."""
+    if isinstance(dist_maps, (tuple, list)):
+        dist_maps = dist_maps[1]
     probs = _activate(logits.astype(jnp.float32), sigmoid, softmax)
     dmaps = dist_maps.astype(jnp.float32)
     if idc is not None:
@@ -281,15 +284,18 @@ def make_criterion(cfg: Any) -> LossFn:
         return partial(hausdorff_loss, idc=idc, alpha=2.0, sigmoid=True,
                        softmax=False, reduction="mean")
     if name == "dice_hd":
+        # reference DiceHDLoss defaults batch=False (losses.py:212) and
+        # definer passes no batch kwarg (definer.py:254-266)
         return partial(dice_hd_loss, idc_hd=idc, alpha_hd=2.0, hybrid=False,
                        weight_hd=0.5, weight_dice=0.5, **base,
-                       squared_pred=True)
+                       squared_pred=True, batch=False)
     if name == "boundary":
         return partial(boundary_loss, idc=idc, sigmoid=True, softmax=False,
                        reduction="mean")
     if name == "dice_boundary":
+        # reference DiceBoundaryLoss defaults batch=False (losses.py:387)
         return partial(dice_boundary_loss, idc_boundary=idc, **base,
-                       squared_pred=True)
+                       squared_pred=True, batch=False)
     raise NameError("Not Supported Criterion")
 
 

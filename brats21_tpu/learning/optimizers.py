@@ -40,7 +40,9 @@ def make_optimizer(cfg: Any, steps_per_epoch: int) -> optax.GradientTransformati
                     normloss_factor=cfg.normloss_factor,
                     gc_conv_only=cfg.gc_conv_only)
     elif name == "ranger21":
-        tx = ranger21(lr, weight_decay=wd if wd else 1e-4, use_gc=cfg.use_gc,
+        # reference overrides the ranger21 default with args.weight_decay
+        # unconditionally (definer.py:377-379)
+        tx = ranger21(lr, weight_decay=wd, use_gc=cfg.use_gc,
                       gc_conv_only=cfg.gc_conv_only, normloss=cfg.normloss,
                       normloss_factor=cfg.normloss_factor)
     elif name == "novograd":

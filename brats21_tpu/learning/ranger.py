@@ -37,9 +37,10 @@ def _centralize(g: chex.Array, conv_only: bool) -> chex.Array:
 
 
 def _normalize_gradient(g: chex.Array, eps: float = 1e-8) -> chex.Array:
-    """Std-normalize gradients (optimizer.py:23-36, use_channels=False)."""
+    """Std-normalize gradients (optimizer.py:23-36, use_channels=False);
+    torch .std() is Bessel-corrected (ddof=1)."""
     if g.size > 2:
-        return g / (g.std() + eps)
+        return g / (g.std(ddof=1) + eps)
     return g
 
 

@@ -76,7 +76,7 @@ def sliding_window_inference(
         predictor: Callable[[Array], Any],
         sw_batch_size: int = 1,
         overlap: float = 0.25,
-        mode: str = "gaussian",
+        mode: str = "constant",  # reference default (inferers.py:32); 'gaussian' available
         sigma_scale: float = 0.125,
         cval: float = 0.0,
 ) -> Array:

@@ -92,13 +92,13 @@ def sharded_tta_probs(mesh: Mesh, apply_fn: Callable[[Array], Any], x: Array,
 
 def sharded_sliding_window(mesh: Mesh, predictor: Callable[[Array], Any],
                            inputs: Array, roi_size: Sequence[int],
-                           overlap: float = 0.25, mode: str = "gaussian",
+                           overlap: float = 0.25, mode: str = "constant",
                            axis: str = "data") -> Array:
     """Sliding-window stitching with the window grid striped across the mesh
     axis; input replicated, output replicated. Matches
     ops.sliding_window.sliding_window_inference semantics."""
     b, *spatial, c_in = inputs.shape
-    roi = [min(r, s) for r, s in zip(roi_size, spatial)]
+    roi = list(roi_size)  # pad-up semantics, same as the single-device path
     pads = [(0, 0)]
     padded_size = []
     for s, r in zip(spatial, roi):

@@ -99,7 +99,8 @@ def test_sliding_window_matches_direct_conv(rng):
 
     x = jnp.asarray(rng.random((1, 32, 32, 24, 2)), jnp.float32)
     direct = model(x)
-    stitched = sliding_window_inference(x, (16, 16, 16), model, overlap=0.5)
+    stitched = sliding_window_inference(x, (16, 16, 16), model, overlap=0.5,
+                                        mode="gaussian")
     # interior agreement (window borders differ by conv halo)
     d = np.asarray(direct)[0, 4:-4, 4:-4, 4:-4]
     s = np.asarray(stitched)[0, 4:-4, 4:-4, 4:-4]

@@ -126,3 +126,30 @@ def test_deep_supervision_loss_mean(rng):
     want = np.mean([float(fn(logits, target)), float(fn(logits * 0.5, target)),
                     float(fn(logits * 0.1, target))])
     np.testing.assert_allclose(total, want, rtol=1e-6)
+
+
+def test_boundary_criterion_with_tuple_target(rng):
+    # 'boundary' receives the (seg, dist_map) pair from the engine and must
+    # unwrap to the map (reference losses.py:315-317)
+    cfg = TrainConfig(criterion="boundary")
+    fn = L.make_criterion(cfg)
+    logits = jnp.asarray(_rand(rng, (1, 8, 8, 8, 3)))
+    seg = jnp.asarray((rng.random((1, 8, 8, 8, 3)) > 0.5).astype(np.float32))
+    dmap = jnp.asarray(_rand(rng, (1, 8, 8, 8, 3)))
+    val = float(fn(logits, (seg, dmap)))
+    direct = float(L.boundary_loss(logits, dmap, idc=[0, 1, 2]))
+    np.testing.assert_allclose(val, direct, rtol=1e-6)
+
+
+def test_dice_hd_batch_false_default(rng):
+    # reference DiceHDLoss defaults batch=False: per-item dice then mean
+    logits = _rand(rng, (2, 6, 6, 6, 3))
+    target = (rng.random((2, 6, 6, 6, 3)) > 0.5).astype(np.float32)
+    cfg = TrainConfig(criterion="dice_hd")
+    fn = L.make_criterion(cfg)
+    got = float(fn(jnp.asarray(logits), jnp.asarray(target)))
+    want = (float(L.dice_loss(jnp.asarray(logits), jnp.asarray(target),
+                              batch=False))
+            + float(L.hausdorff_loss(jnp.asarray(logits), jnp.asarray(target),
+                                     idc=[0, 1, 2])))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
