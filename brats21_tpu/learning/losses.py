@@ -178,11 +178,17 @@ def hausdorff_loss(logits: Array, target: Array, *,
                    reduction: str = "mean") -> Array:
     """HD loss (reference losses.py:98-179): (p-t)² weighted by
     tdm^α + pdm^α, with distance maps from the on-device EDT (detached)."""
-    probs = _activate(logits.astype(jnp.float32), sigmoid, softmax)
+    probs_full = _activate(logits.astype(jnp.float32), sigmoid, softmax)
     tgt = target.astype(jnp.float32)
+    # reference takes argmax over ALL channels before idc-slicing the
+    # prediction dist map (losses.py:158-159)
+    pred_oh_full = jax.lax.stop_gradient(_probs2one_hot(probs_full))
     if idc is not None:
-        probs = probs[..., list(idc)]
+        probs = probs_full[..., list(idc)]
         tgt = tgt[..., list(idc)]
+        pred_oh = pred_oh_full[..., list(idc)]
+    else:
+        probs, pred_oh = probs_full, pred_oh_full
 
     def _dist_maps(seg_bchw: Array) -> Array:
         # [B, D, H, W, C] → per (b, c) EDT
@@ -192,7 +198,6 @@ def hausdorff_loss(logits: Array, target: Array, *,
         return jnp.moveaxis(d.reshape(moved.shape), 1, -1)
 
     tdm = jax.lax.stop_gradient(_dist_maps(tgt))
-    pred_oh = jax.lax.stop_gradient(_probs2one_hot(probs))
     pdm = jax.lax.stop_gradient(_dist_maps(pred_oh))
 
     delta = (probs - tgt) ** 2
