@@ -111,3 +111,20 @@ def test_create_patient_dir(quick_run, tmp_path):
     segs = glob.glob(os.path.join(out, "Inference_segmentations_val",
                                   "*", "*.nii.gz"))
     assert len(segs) == 1
+
+
+def test_training_is_deterministic(tmp_path, synthetic_case):
+    # same seed -> bit-identical checkpoints (set_determinism parity,
+    # definer.py:507-508)
+    import jax
+    from brats21_tpu.learning.checkpoint import load_checkpoint
+    runs = []
+    for i in range(2):
+        save = str(tmp_path / f"det_{i}")
+        train_main(_base_argv(synthetic_case, save, **_patch16()))
+        runs.append(glob.glob(os.path.join(save, "*"))[0])
+    p0 = load_checkpoint(os.path.join(runs[0], "best_model"))["params"]
+    p1 = load_checkpoint(os.path.join(runs[1], "best_model"))["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
