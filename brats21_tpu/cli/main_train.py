@@ -96,9 +96,14 @@ def main(argv=None) -> None:
                              key_metric=cfg.key_metric[0])
     start_epoch = 1
     if cfg.resume is not None:
-        state, last_epoch = resume_state(state, load_checkpoint(cfg.resume))
+        loaded_ckpt = load_checkpoint(cfg.resume)
+        state, last_epoch = resume_state(state, loaded_ckpt)
         start_epoch = last_epoch + 1
-        logger.info("resumed from %s at epoch %d", cfg.resume, last_epoch)
+        if "best_value" in loaded_ckpt:
+            # reference resume restores the tracked best (engine.py:511-525)
+            ckpt.best_value = float(loaded_ckpt["best_value"])
+        logger.info("resumed from %s at epoch %d (best %s)", cfg.resume,
+                    last_epoch, ckpt.best_value)
 
     epoch_time = AverageMeter("Time", ":6.3f")
     progress = ProgressMeter(cfg.epochs, [epoch_time], prefix="Epoch: ")

@@ -42,11 +42,12 @@ def main(argv=None) -> None:
                              verbosity=max(cfg.verbosity, 1))
     logger.info("devices: %s", jax.devices())
 
-    mesh = make_mesh(data=min(len(jax.devices()), N_FOLDS), space=1)
-    if mesh.shape["data"] < N_FOLDS:
-        logger.warning("only %d devices for %d folds: folds stack on devices",
-                       mesh.shape["data"], N_FOLDS)
-        mesh = make_mesh(data=1, space=1)
+    n_dev = len(jax.devices())
+    data = N_FOLDS if n_dev >= N_FOLDS else 1
+    mesh = make_mesh(data=data, space=1)
+    if data < N_FOLDS:
+        logger.warning("only %d devices for %d folds: each device loops "
+                       "all folds sequentially", n_dev, N_FOLDS)
 
     # per-fold records/loaders (definer.py:609-614 split)
     from ..data.discovery import MODALITIES_WITH_SEG, create_database, \
@@ -63,10 +64,13 @@ def main(argv=None) -> None:
         val_recs = [r for r in recs if r["patient_id"] in set(val_id)]
         ds = BraTSDataset(train_recs, with_seg=True,
                           remove_outliers=cfg.remove_outliers,
-                          compute_distance_map=needs_dm,
-                          already_preprocess=cfg.already_preprocess)
+                          already_preprocess=cfg.already_preprocess,
+                          normalize=False)
+        # drop_last=True: fold-parallel lock-step needs equal batch shapes
         loaders.append(TrainLoader(ds, cfg.batch_size, cfg.patch_size,
-                                   seed=cfg.seed, num_workers=cfg.num_workers))
+                                   seed=cfg.seed, num_workers=cfg.num_workers,
+                                   drop_last=True, compute_dm=needs_dm,
+                                   remove_outliers=cfg.remove_outliers))
         vds = BraTSDataset(val_recs, with_seg=True,
                            remove_outliers=cfg.remove_outliers,
                            compute_distance_map=needs_dm,
@@ -99,7 +103,7 @@ def main(argv=None) -> None:
     single_step = make_train_step(criterion, use_amp=not cfg.no_amp,
                                   has_batch_stats=(cfg.norm == "batch"),
                                   has_dropout=cfg.dropout > 0)
-    step_fn = make_fold_train_step(single_step, mesh)
+    step_fn = make_fold_train_step(single_step, mesh, N_FOLDS)
 
     engine = Engine(cfg, model, criterion, mesh=mesh)
     ckpts = [CheckpointManager(d, save_on=cfg.save_on,

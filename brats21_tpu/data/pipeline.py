@@ -22,7 +22,8 @@ from .discovery import (MODALITIES, MODALITIES_WITH_SEG, create_database,
                         create_database_test_docker, kfold_split,
                         make_file_records)
 from .nifti import read_nifti
-from .transforms import augment_train_sample, preprocess_case
+from .transforms import (augment_train_sample, compute_distance_map_fn,
+                         preprocess_case)
 
 logger = get_logger("data")
 
@@ -48,13 +49,20 @@ class BraTSDataset:
     def __init__(self, records: List[Dict[str, Any]], *,
                  with_seg: bool, remove_outliers: bool = False,
                  crop: bool = True, compute_distance_map: bool = False,
-                 already_preprocess: bool = False):
+                 already_preprocess: bool = False,
+                 normalize: Optional[bool] = None):
         self.records = records
         self.with_seg = with_seg
         self.remove_outliers = remove_outliers
         self.crop = crop and not already_preprocess
         self.already_preprocess = already_preprocess
         self.compute_distance_map = compute_distance_map
+        # eval datasets normalize at load; train datasets load raw and the
+        # loader normalizes after augmentation (reference transform order,
+        # definer.py:458-468); already_preprocess never normalizes
+        if normalize is None:
+            normalize = not already_preprocess
+        self.normalize = normalize and not already_preprocess
 
     def __len__(self) -> int:
         return len(self.records)
@@ -73,12 +81,13 @@ class BraTSDataset:
             seg = None
         if self.already_preprocess:
             # skip crop+normalize (definer.py:476-479)
-            sample = preprocess_case(img, seg, crop=False,
+            sample = preprocess_case(img, seg, crop=False, normalize=False,
                                      compute_distance_map=self.compute_distance_map)
         else:
             sample = preprocess_case(img, seg, remove_outliers=self.remove_outliers,
                                      crop=self.crop,
-                                     compute_distance_map=self.compute_distance_map)
+                                     compute_distance_map=self.compute_distance_map,
+                                     normalize=self.normalize)
         sample["affine"] = affine
         return sample
 
@@ -89,7 +98,7 @@ class BraTSDataset:
         if self.already_preprocess or not native.available():
             return None
         out = native.load_case_native(
-            record["img"], crop=self.crop, normalize=True,
+            record["img"], crop=self.crop, normalize=self.normalize,
             remove_outliers=self.remove_outliers)
         if out is None:
             return None
@@ -109,10 +118,7 @@ class BraTSDataset:
             seg_mc = seg_mc[s[0]:e[0], s[1]:e[1], s[2]:e[2]]
             sample["seg"] = seg_mc
             if self.compute_distance_map:
-                from ..ops.edt import one_hot2dist
-                import jax.numpy as jnp
-                dm = one_hot2dist(jnp.moveaxis(jnp.asarray(seg_mc), -1, 0))
-                sample["distance_map"] = np.moveaxis(np.asarray(dm), 0, -1)
+                sample["distance_map"] = compute_distance_map_fn(seg_mc)
         return sample
 
 
@@ -144,10 +150,21 @@ class _PrefetchIterator:
                     for i in range(n):
                         self._q.put(make_item(i))
                 else:
+                    # bounded in-flight window: pool.map would schedule the
+                    # whole epoch eagerly and materialize every batch in RAM
+                    from collections import deque
                     from concurrent.futures import ThreadPoolExecutor
+                    window = num_workers + max(prefetch, 1)
                     with ThreadPoolExecutor(num_workers) as pool:
-                        for item in pool.map(make_item, range(n)):
-                            self._q.put(item)
+                        futures = deque()
+                        idx = 0
+                        while idx < n or futures:
+                            while idx < n and len(futures) < window:
+                                futures.append(pool.submit(make_item, idx))
+                                idx += 1
+                            # q is bounded: this put blocks, throttling the
+                            # submission loop above
+                            self._q.put(futures.popleft().result())
             except BaseException as e:  # propagate into consumer
                 self._error = e
             finally:
@@ -177,8 +194,10 @@ class TrainLoader:
 
     def __init__(self, dataset: BraTSDataset, batch_size: int,
                  patch_size: Sequence[int], seed: int = 123,
-                 num_workers: int = 4, drop_last: bool = True,
-                 divisible_k: int = 8):
+                 num_workers: int = 4, drop_last: bool = False,
+                 divisible_k: int = 8, compute_dm: bool = False,
+                 remove_outliers: bool = False):
+        # drop_last=False matches the reference DataLoader (definer.py:521)
         self.dataset = dataset
         self.batch_size = batch_size
         self.patch_size = list(patch_size)
@@ -186,6 +205,8 @@ class TrainLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.divisible_k = divisible_k
+        self.compute_dm = compute_dm
+        self.remove_outliers = remove_outliers
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -209,7 +230,11 @@ class TrainLoader:
                 s = self.dataset[int(idx)]
                 s = augment_train_sample(
                     s, np.random.default_rng(int(aug_seeds[idx])),
-                    self.patch_size, self.divisible_k)
+                    self.patch_size, self.divisible_k,
+                    compute_dm=self.compute_dm,
+                    normalize=not self.dataset.normalize
+                    and not self.dataset.already_preprocess,
+                    remove_outliers=self.remove_outliers)
                 samples.append(s)
             return _collate(samples)
 
@@ -275,10 +300,12 @@ def make_train_val_loaders(cfg: Any, train_in_val_mode: bool = False
     if train_files and not train_in_val_mode:
         train_ds = BraTSDataset(train_files, with_seg=True,
                                 remove_outliers=cfg.remove_outliers,
-                                compute_distance_map=needs_dm,
-                                already_preprocess=cfg.already_preprocess)
+                                already_preprocess=cfg.already_preprocess,
+                                normalize=False)
         train_loader = TrainLoader(train_ds, cfg.batch_size, cfg.patch_size,
-                                   seed=cfg.seed, num_workers=cfg.num_workers)
+                                   seed=cfg.seed, num_workers=cfg.num_workers,
+                                   compute_dm=needs_dm,
+                                   remove_outliers=cfg.remove_outliers)
     eval_files = train_files if train_in_val_mode else val_files
     val_loader = None
     if eval_files:

@@ -313,6 +313,7 @@ def rand_gaussian_smooth(rng: np.random.Generator, prob: float,
 def preprocess_case(img: np.ndarray, seg: Optional[np.ndarray],
                     remove_outliers: bool = False, crop: bool = True,
                     compute_distance_map: bool = False,
+                    normalize: bool = True,
                     ) -> Dict[str, np.ndarray]:
     """The deterministic front half shared by all pipelines: label codec →
     foreground crop → z-score normalize (+ optional boundary-loss distance
@@ -328,23 +329,21 @@ def preprocess_case(img: np.ndarray, seg: Optional[np.ndarray],
     else:
         start = np.zeros(3, np.int64)
         end = original_shape.copy()
-    img = normalize_intensity(img, nonzero=True, channel_wise=True,
-                              remove_outliers=remove_outliers)
+    if normalize:
+        img = normalize_intensity(img, nonzero=True, channel_wise=True,
+                                  remove_outliers=remove_outliers)
     sample["img"] = img.astype(np.float32)
     if seg_mc is not None:
         sample["seg"] = seg_mc
         if compute_distance_map:
-            from ..ops.edt import one_hot2dist
-            import jax.numpy as jnp
-            dm = one_hot2dist(jnp.moveaxis(jnp.asarray(seg_mc), -1, 0))
-            sample["distance_map"] = np.moveaxis(np.asarray(dm), 0, -1)
+            sample["distance_map"] = compute_distance_map_fn(seg_mc)
     sample["foreground_start_coord"] = start
     sample["foreground_end_coord"] = end
     sample["original_shape"] = original_shape
     return sample
 
 
-def compute_distance_map(seg_mc: np.ndarray) -> np.ndarray:
+def compute_distance_map_fn(seg_mc: np.ndarray) -> np.ndarray:
     """Signed boundary-loss map (OneHotToDistd, definer.py:455-456) for a
     channels-last one-hot seg."""
     from ..ops.edt import one_hot2dist
@@ -356,31 +355,30 @@ def compute_distance_map(seg_mc: np.ndarray) -> np.ndarray:
 def augment_train_sample(sample: Dict[str, np.ndarray],
                          rng: np.random.Generator,
                          patch_size: Sequence[int],
-                         divisible_k: int = 8) -> Dict[str, np.ndarray]:
+                         divisible_k: int = 8,
+                         compute_dm: bool = False,
+                         normalize: bool = True,
+                         remove_outliers: bool = False,
+                         ) -> Dict[str, np.ndarray]:
     """The random back half of the train pipeline (definer.py:452-468):
     SpatialPad → RandSpatialCrop → RandRotate90(p.7, axes 0,2) →
     RandFlip(p.7) → intensity augs → DivisiblePad(8).
 
-    Note: the reference normalizes *after* DivisiblePad; we normalize in
-    :func:`preprocess_case` before cropping to keep the pipeline cacheable —
-    z-score over nonzero voxels is invariant to zero padding and unaffected
-    by cropping to the nonzero bounding box, so the result is identical.
-    Intensity augs shift zeros, so the pad-zero set matches the reference's
-    nonzero mask (it normalizes the augmented image); the small statistical
-    difference from augmenting normalized vs raw intensities is accepted and
-    documented here.
+    With ``normalize=True`` (the train path) the z-score runs last on the
+    augmented raw intensities, exactly like the reference; eval pipelines
+    normalize in :func:`preprocess_case` instead (no augs, definer.py:481-493).
     """
     keys = [k for k in ("img", "seg") if k in sample]
     arrays = [sample[k] for k in keys]
     patch = list(patch_size)
     if any(p > 0 for p in patch):
         arrays = [spatial_pad(a, patch) for a in arrays]
-    if "distance_map" in sample:
+    if compute_dm:
         # the reference computes the map AFTER SpatialPadd (definer.py:452-456)
         # so pad margins carry true positive distances; it then rides through
         # the spatial augs with the seg
         keys.append("distance_map")
-        arrays.append(compute_distance_map(arrays[keys.index("seg")]))
+        arrays.append(compute_distance_map_fn(arrays[keys.index("seg")]))
     if any(p > 0 for p in patch):
         arrays = list(rand_spatial_crop(rng, patch, *arrays))
     arrays = list(rand_rotate90(rng, 0.7, (0, 2), *arrays))
@@ -394,6 +392,12 @@ def augment_train_sample(sample: Dict[str, np.ndarray],
     out["img"] = img.astype(np.float32)
     for k in keys:
         out[k] = divisible_pad(out[k], divisible_k)
+    if normalize:
+        # reference normalizes LAST (definer.py:465-468), on the augmented
+        # raw intensities — so aug magnitudes are relative to raw MRI scale
+        out["img"] = normalize_intensity(out["img"], nonzero=True,
+                                         channel_wise=True,
+                                         remove_outliers=remove_outliers)
     for k in ("foreground_start_coord", "foreground_end_coord", "original_shape"):
         out[k] = sample[k]
     return out

@@ -173,14 +173,19 @@ class Engine:
                 apply_fn = lambda v: apply_eval(variables, v)
                 if n_dev > 1:
                     # fan the 16 combos over the mesh (parallel/distributed);
-                    # the val loss comes from one plain forward (cheap next
-                    # to 16 TTA members)
+                    # loss is psum-averaged over all 16 members, matching
+                    # the single-device path
                     from ..parallel.distributed import sharded_tta_probs
-                    probs = sharded_tta_probs(self.mesh, apply_fn, x,
-                                              num_classes=cfg.num_classes)
-                    loss = (deep_supervision_loss(
-                        self.criterion, apply_fn(x), target)
-                        if with_target else jnp.zeros([], jnp.float32))
+                    if with_target:
+                        probs, loss = sharded_tta_probs(
+                            self.mesh, apply_fn, x,
+                            num_classes=cfg.num_classes,
+                            criterion=self.criterion, target=target)
+                    else:
+                        probs = sharded_tta_probs(
+                            self.mesh, apply_fn, x,
+                            num_classes=cfg.num_classes)
+                        loss = jnp.zeros([], jnp.float32)
                     return probs, loss
                 probs, loss = tta_mean_probs(
                     apply_fn, x,

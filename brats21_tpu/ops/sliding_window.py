@@ -109,13 +109,10 @@ def sliding_window_inference(
         imp = jnp.ones(tuple(roi), jnp.float32)
     imp_b = imp[None, :, :, :, None]
 
+    from .tta import main_head
+
     def predict_main(window: Array) -> Array:
-        out = predictor(window)
-        if isinstance(out, tuple) and len(out) == 2:
-            out = out[0]
-        if isinstance(out, (list, tuple)):  # refinement pair → refined head
-            out = out[0]
-        return out.astype(jnp.float32)
+        return main_head(predictor(window)).astype(jnp.float32)
 
     # probe output channel count via trace-time structure
     c_out = jax.eval_shape(

@@ -25,6 +25,19 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+
+def main_head(out: Any) -> Array:
+    """Main-head logits from a model output: plain logits, (logits, deeps)
+    tuples, or [refined, out] refinement pairs (inferers.py:135-138 keeps
+    head[0]; refinement uses the refined head, engine.py:490-491)."""
+    if isinstance(out, tuple) and len(out) == 2 \
+            and isinstance(out[1], (list, tuple)):
+        out = out[0]
+    if isinstance(out, (list, tuple)):
+        out = out[0]
+    return out
+
+
 AXES: Tuple[str, ...] = ("zxy", "xyz")       # definer.py:653; 'zxy' = identity
 ANGLES: Tuple[int, ...] = (0, 90, 180, 270)
 FLIPS: Tuple[bool, ...] = (False, True)
@@ -150,12 +163,7 @@ def tta_mean_probs(apply_fn: Callable[[Array], Any], x: Array,
 
     def reduce(carry, out):
         probs_sum, loss_sum = carry
-        if isinstance(out, tuple) and len(out) == 2 and isinstance(out[1], (list, tuple)):
-            main = out[0]
-        else:
-            main = out
-        if isinstance(main, (list, tuple)):  # refinement pair: use refined
-            main = main[0]
+        main = main_head(out)
         probs_sum = probs_sum + jax.nn.sigmoid(main.astype(jnp.float32))
         if criterion is not None and target is not None:
             from ..learning.losses import deep_supervision_loss

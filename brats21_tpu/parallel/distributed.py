@@ -30,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import tta as tta_ops
+from ..ops.tta import main_head
 from ..ops.sliding_window import (dense_patch_starts, gaussian_importance_map,
                                   get_scan_interval)
 
@@ -42,47 +43,62 @@ Array = jax.Array
 
 
 def sharded_tta_probs(mesh: Mesh, apply_fn: Callable[[Array], Any], x: Array,
-                      axis: str = "data", num_classes: int = 3) -> Array:
-    """Mean sigmoid-probability over the 16 TTA combos, with the per-
+                      axis: str = "data", num_classes: int = 3,
+                      criterion: Callable = None, target: Any = None):
+    """Mean sigmoid-probability (and, when criterion+target are given, the
+    mean deep-supervision loss) over the 16 TTA combos, with the per-
     orientation 8 (flip×rot) variants distributed round-robin over the mesh
-    axis. Requires x.shape[1] == x.shape[2]. x is replicated."""
+    axis. Requires x.shape[1] == x.shape[2]. x is replicated.
+
+    Returns probs, or (probs, loss) with a criterion — loss parity with the
+    single-device tta_mean_probs (mean over all 16 members)."""
     n_dev = mesh.shape[axis]
     fr = [(f, r) for f in tta_ops.FLIPS for r in tta_ops.ANGLES]
+    with_loss = criterion is not None and target is not None
 
-    def main_head(out):
-        if isinstance(out, tuple) and len(out) == 2:
-            out = out[0]
-        if isinstance(out, (list, tuple)):
-            out = out[0]
-        return out
-
-    def per_device(xl: Array) -> Array:
+    def per_device(xl: Array):
         idx = jax.lax.axis_index(axis)
         probs = jnp.zeros(xl.shape[:-1] + (num_classes,), jnp.float32)
+        loss = jnp.zeros([], jnp.float32)
         for axe in tta_ops.AXES:
             branches = []
             for f, r in fr:
                 def branch(v, a=axe, f=f, r=r):
                     xa = tta_ops.aug_flip_rot(tta_ops.aug_axes(v, a), f, r)
-                    logits = main_head(apply_fn(xa))
-                    logits = tta_ops.deaug_axes(
-                        tta_ops.deaug_flip_rot(logits, f, r), a)
-                    return jax.nn.sigmoid(logits.astype(jnp.float32))
+                    out = apply_fn(xa)
+                    deaug = lambda l: tta_ops.deaug_axes(
+                        tta_ops.deaug_flip_rot(l, f, r), a)
+                    out = jax.tree_util.tree_map(deaug, out)
+                    p = jax.nn.sigmoid(
+                        main_head(out).astype(jnp.float32))
+                    if with_loss:
+                        from ..learning.losses import deep_supervision_loss
+                        l = deep_supervision_loss(criterion, out, target)
+                    else:
+                        l = jnp.zeros([], jnp.float32)
+                    return p, l
                 branches.append(branch)
             # stripe the 8 combos over devices; each device loops its share
             for k in range(0, len(fr), n_dev):
                 combo = k + idx
                 in_range = combo < len(fr)
                 safe = jnp.minimum(combo, len(fr) - 1)
-                p = jax.lax.switch(safe, branches, xl)
-                probs = probs + jnp.where(in_range, 1.0, 0.0) * p
-        total = jax.lax.psum(probs, axis)
-        return total / (len(tta_ops.AXES) * len(fr))
+                p, l = jax.lax.switch(safe, branches, xl)
+                w = jnp.where(in_range, 1.0, 0.0)
+                probs = probs + w * p
+                loss = loss + w * l
+        n = len(tta_ops.AXES) * len(fr)
+        probs = jax.lax.psum(probs, axis) / n
+        loss = jax.lax.psum(loss, axis) / n
+        return probs, loss
 
     spec = P(*(None,) * x.ndim)
-    fn = jax.shard_map(per_device, mesh=mesh, in_specs=spec, out_specs=spec,
-                       check_vma=False)
-    return fn(x)
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=spec,
+                       out_specs=(spec, P()), check_vma=False)
+    probs, loss = fn(x)
+    if with_loss:
+        return probs, loss
+    return probs
 
 
 # ---------------------------------------------------------------------------
@@ -127,13 +143,6 @@ def sharded_sliding_window(mesh: Mesh, predictor: Callable[[Array], Any],
     imp = (gaussian_importance_map(roi) if mode == "gaussian"
            else np.ones(tuple(roi), np.float32))
     imp_b = jnp.asarray(imp)[None, :, :, :, None]
-
-    def main_head(out):
-        if isinstance(out, tuple) and len(out) == 2:
-            out = out[0]
-        if isinstance(out, (list, tuple)):
-            out = out[0]
-        return out
 
     c_out = jax.eval_shape(
         lambda v: main_head(predictor(v)),

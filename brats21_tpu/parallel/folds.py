@@ -43,20 +43,29 @@ def stack_fold_states(make_state: Callable[[jax.Array], TrainState],
     return jax.tree_util.tree_map(put, stacked)
 
 
-def make_fold_train_step(train_step: Callable, mesh: Mesh) -> Callable:
+def make_fold_train_step(train_step: Callable, mesh: Mesh,
+                         n_folds: int) -> Callable:
     """Map the single-fold step over the leading fold axis with
-    ``shard_map``: each device runs the *unbatched* step on its local fold
-    shard (vmap would batch the conv kernels, which XLA's conv batching
-    rules reject in the backward pass for small channel counts). The
-    returned step takes stacked (state, img, target, rngs)."""
+    ``shard_map``: each device runs the *unbatched* step once per fold in
+    its local shard (vmap would batch the conv kernels, which XLA's conv
+    batching rules reject in the backward pass for small channel counts).
+    With fewer devices than folds, each device loops its shard
+    sequentially. The returned step takes stacked (state, img, target,
+    rngs)."""
+    k_local = n_folds // mesh.shape["data"]
+    assert k_local * mesh.shape["data"] == n_folds,         f"{n_folds} folds must divide over {mesh.shape['data']} devices"
 
     def per_fold(state, img, target, rng):
-        local = jax.tree_util.tree_map(lambda x: x[0], state)
-        tgt = jax.tree_util.tree_map(lambda x: x[0], target)
-        new_state, metrics = train_step(local, img[0], tgt, rng[0])
-        expand = lambda x: jnp.asarray(x)[None]
-        return (jax.tree_util.tree_map(expand, new_state),
-                jax.tree_util.tree_map(expand, metrics))
+        new_states, new_metrics = [], []
+        for i in range(k_local):
+            local = jax.tree_util.tree_map(lambda x: x[i], state)
+            tgt = jax.tree_util.tree_map(lambda x: x[i], target)
+            ns, m = train_step(local, img[i], tgt, rng[i])
+            new_states.append(ns)
+            new_metrics.append(m)
+        stack = lambda *xs: jnp.stack([jnp.asarray(x) for x in xs])
+        return (jax.tree_util.tree_map(stack, *new_states),
+                jax.tree_util.tree_map(stack, *new_metrics))
 
     def fold_step(state, img, target, rngs):
         fn = jax.shard_map(per_fold, mesh=mesh,

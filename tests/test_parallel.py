@@ -130,3 +130,24 @@ def test_engine_eval_uses_sharded_tta(mesh, rng):
     p_one, _ = fn_one(variables, x)
     np.testing.assert_allclose(np.asarray(p_multi), np.asarray(p_one),
                                atol=2e-4)
+
+
+def test_sharded_tta_loss_matches_serial(mesh, rng):
+    """Loss parity: sharded TTA's psum-averaged member loss equals the
+    single-device 16-member mean."""
+    import jax.numpy as jnp
+    from brats21_tpu.learning.losses import make_criterion
+    from brats21_tpu.config import TrainConfig
+    from brats21_tpu.parallel.distributed import sharded_tta_probs
+
+    w = jnp.asarray(rng.random((3, 3)), jnp.float32)
+    model = lambda v: jnp.einsum("bxyzc,cd->bxyzd", v, w)
+    x = jnp.asarray(rng.random((1, 8, 8, 6, 3)), jnp.float32)
+    tgt = jnp.asarray((rng.random((1, 8, 8, 6, 3)) > 0.5).astype(np.float32))
+    crit = make_criterion(TrainConfig(criterion="dice"))
+    serial_p, serial_l = tta_mean_probs(model, x, criterion=crit, target=tgt)
+    par_p, par_l = sharded_tta_probs(mesh, model, x, criterion=crit,
+                                     target=tgt)
+    np.testing.assert_allclose(np.asarray(par_p), np.asarray(serial_p),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(par_l), float(serial_l), rtol=1e-5)
