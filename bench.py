@@ -32,7 +32,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/brats21_jax_cache")
 
 CASE_SHAPE = (240, 240, 155)
 WIDTH = 48
-N_VOLUMES = int(os.environ.get("BENCH_VOLUMES", "8"))
+N_VOLUMES = int(os.environ.get("BENCH_VOLUMES", "12"))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 
