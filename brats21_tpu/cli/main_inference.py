@@ -46,8 +46,10 @@ def main(argv=None) -> None:
         os.path.join(cfg0.save_path, "logfile_inference.log"),
         verbosity=max(cfg0.verbosity, 1))
     logger.info("devices: %s", jax.devices())
-    from ..utils.profiling import maybe_enable_from_env
+    from ..utils.profiling import (enable_compilation_cache,
+                                   maybe_enable_from_env)
     maybe_enable_from_env()
+    enable_compilation_cache(log_compiles=cfg0.verbosity >= 2)
 
     cfg = TrainConfig.from_dict(vars(cfg0))
     # carry inference-only flags the engine reads
@@ -68,7 +70,9 @@ def main(argv=None) -> None:
     logger.info("ensemble of %d member(s)", len(members))
 
     engine = Engine(cfg, members[0][0], criterion, mesh=local_mesh())
-    report = EvaluationReport()
+    report = EvaluationReport(
+        autosave_dir=cfg0.save_path,
+        name=f"Evaluation_inference_{cfg0.on}{experience_name}")
     engine.evaluate(
         members, loader, 0,
         use_tta=bool(cfg0.tta),
@@ -81,8 +85,7 @@ def main(argv=None) -> None:
         report=report if cfg0.on in ("val", "train") else None,
         step_mode=f"metric_{cfg0.on}")
     if cfg0.on in ("val", "train"):
-        report.save(cfg0.save_path,
-                    name=f"Evaluation_inference_{cfg0.on}{experience_name}")
+        report.save(cfg0.save_path)
     logger.info("total time: %.1fs", time.time() - total_start)
 
 

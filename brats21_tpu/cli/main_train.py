@@ -72,8 +72,10 @@ def main(argv=None) -> None:
     logger = set_main_logger(os.path.join(cfg.save_path, "logfile.log"),
                              verbosity=max(cfg.verbosity, 1))
     logger.info("devices: %s", jax.devices())
-    from ..utils.profiling import maybe_enable_from_env
+    from ..utils.profiling import (enable_compilation_cache,
+                                   maybe_enable_from_env)
     maybe_enable_from_env()
+    enable_compilation_cache(log_compiles=cfg.verbosity >= 2)
 
     train_loader, valid_loader = make_train_val_loaders(cfg)
     steps_per_epoch = max(len(train_loader), 1) if train_loader else 1
@@ -158,7 +160,11 @@ def main(argv=None) -> None:
         for eval_type in ("", "_tta"):
             logger.info("Starting Evaluation %s", eval_type)
             engine.val_step = 0
-            report = EvaluationReport()
+            suffix = f"_swa{eval_type}" if cfg.swa_start else eval_type
+            # incremental flush per case (reference files.py:269-333): a
+            # crash mid-eval keeps all completed rows on disk
+            report = EvaluationReport(autosave_dir=cfg.save_path,
+                                      name=f"Evaluation{suffix}")
             meters = engine.evaluate(
                 [variables], valid_loader, 0, use_tta=bool(eval_type),
                 save_seg=True,
@@ -166,8 +172,7 @@ def main(argv=None) -> None:
                                          f"segmentations{eval_type}"),
                 post_kwargs=post_kwargs, report=report,
                 step_mode="metric_val")
-            suffix = f"_swa{eval_type}" if cfg.swa_start else eval_type
-            report.save(cfg.save_path, name=f"Evaluation{suffix}")
+            report.save(cfg.save_path)
             metric_summary = {
                 f"{k}_mean": float(np.nanmean(m.avg))
                 for k, m in meters.items()

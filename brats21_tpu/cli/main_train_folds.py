@@ -21,7 +21,8 @@ from ..learning.checkpoint import CheckpointManager
 from ..learning.engine import Engine
 from ..learning.losses import make_criterion
 from ..learning.optimizers import make_optimizer
-from ..learning.train_state import create_train_state, make_train_step
+from ..learning.train_state import (create_train_state, make_train_step,
+                                    model_uses_rng)
 from ..models import get_model
 from ..parallel.folds import (make_fold_train_step, stack_fold_states,
                               train_folds_epoch, unstack_fold_state)
@@ -41,6 +42,8 @@ def main(argv=None) -> None:
     logger = set_main_logger(os.path.join(base_dir, "logfile.log"),
                              verbosity=max(cfg.verbosity, 1))
     logger.info("devices: %s", jax.devices())
+    from ..utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
 
     n_dev = len(jax.devices())
     data = N_FOLDS if n_dev >= N_FOLDS else 1
@@ -102,7 +105,7 @@ def main(argv=None) -> None:
 
     single_step = make_train_step(criterion, use_amp=not cfg.no_amp,
                                   has_batch_stats=(cfg.norm == "batch"),
-                                  has_dropout=cfg.dropout > 0)
+                                  has_dropout=model_uses_rng(cfg))
     step_fn = make_fold_train_step(single_step, mesh, N_FOLDS)
 
     engine = Engine(cfg, model, criterion, mesh=mesh)

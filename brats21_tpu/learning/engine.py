@@ -34,7 +34,8 @@ from ..utils.meter import AverageMeter, ProgressMeter
 from ..utils.metrics import compute_case_metrics
 from ..utils.reporting import EvaluationReport, TensorBoardLogger
 from .losses import LossFn, deep_supervision_loss
-from .train_state import TrainState, make_train_step, swa_update
+from .train_state import (TrainState, make_train_step, model_uses_rng,
+                          swa_update)
 
 logger = get_logger("engine")
 
@@ -57,7 +58,7 @@ class Engine:
         self.train_step_fn = make_train_step(
             criterion, use_amp=not cfg.no_amp,
             has_batch_stats=(cfg.norm == "batch"),
-            has_dropout=cfg.dropout > 0,
+            has_dropout=model_uses_rng(cfg),
             log_metrics=getattr(cfg, "log_train_metrics", False))
         self.global_step = 0
         self.val_step = 0

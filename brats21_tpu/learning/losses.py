@@ -16,7 +16,7 @@ reference's detached-numpy gradients.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -306,9 +306,17 @@ def make_criterion(cfg: Any) -> LossFn:
 
 def deep_supervision_loss(criterion: LossFn, outputs: Any, target: Any) -> Array:
     """Mean of the criterion over main + deep-supervision heads (reference
-    engine.py:312-333). ``outputs`` may be logits, (logits, deeps), or
-    ([refined, out], deeps) for refinement models."""
+    engine.py:312-333). ``outputs`` may be logits, (logits, deeps),
+    ([refined, out], deeps) for refinement models, or (logits, aux_dict)
+    where every value of the dict is an additive auxiliary loss scalar
+    (SegResNetVAE's ``{"vae_loss": ...}``, MONAI semantics — the criterion
+    never sees the scalar)."""
+    aux: Dict[str, Array] = {}
     if isinstance(outputs, tuple) and len(outputs) == 2 \
+            and isinstance(outputs[1], dict):
+        main, aux = outputs
+        deeps: Sequence[Array] = []
+    elif isinstance(outputs, tuple) and len(outputs) == 2 \
             and isinstance(outputs[1], (list, tuple)):
         main, deeps = outputs
     else:
@@ -316,4 +324,7 @@ def deep_supervision_loss(criterion: LossFn, outputs: Any, target: Any) -> Array
     mains = main if isinstance(main, (list, tuple)) else [main]
     losses = [criterion(m, target) for m in mains]
     losses += [criterion(d, target) for d in deeps]
-    return jnp.mean(jnp.stack(losses))
+    loss = jnp.mean(jnp.stack(losses))
+    for v in aux.values():
+        loss = loss + v
+    return loss

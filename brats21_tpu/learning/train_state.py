@@ -52,6 +52,13 @@ def create_train_state(model, tx: optax.GradientTransformation, rng: Array,
                       tx=tx, apply_fn=model.apply)
 
 
+def model_uses_rng(cfg: Any) -> bool:
+    """Whether the model consumes the 'dropout' rng stream in training:
+    dropout layers, or SegResNetVAE's latent sampling (z = μ + σ·ε)."""
+    return (getattr(cfg, "dropout", 0.0) > 0
+            or getattr(cfg, "model", "") == "segresnetvae")
+
+
 def make_train_step(criterion: LossFn, use_amp: bool = True,
                     has_batch_stats: bool = False, has_dropout: bool = False,
                     log_metrics: bool = False) -> Callable:

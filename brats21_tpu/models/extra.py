@@ -146,8 +146,15 @@ class SegResNet(nn.Module):
 
 class SegResNetVAE(nn.Module):
     """SegResNet + VAE regularization branch (MONAI SegResNetVAE,
-    definer.py:100-110). Returns (seg, vae_loss) in training mode
-    semantics; here vae recon loss is returned as an aux output."""
+    definer.py:100-110).
+
+    Output contract: ``(seg, {"vae_loss": scalar})`` — the aux dict marks
+    the second element as an *additive auxiliary loss*, which
+    ``deep_supervision_loss`` adds to the criterion (MONAI semantics:
+    ``total = criterion(seg, target) + vae_loss``), never feeding the
+    scalar to the criterion itself. During training (``deterministic=False``)
+    the latent is sampled ``z = μ + σ·ε`` with the 'dropout' rng stream;
+    at eval ``z = μ``."""
 
     input_image_size: Sequence[int]
     init_filters: int = 8
@@ -190,7 +197,12 @@ class SegResNetVAE(nn.Module):
         mu = nn.Dense(self.vae_nz, param_dtype=jnp.float32, name="vae_mu")(flat)
         logvar = nn.Dense(self.vae_nz, param_dtype=jnp.float32,
                           name="vae_logvar")(flat)
-        z = mu  # deterministic eval; sampling handled by caller with rng
+        if deterministic:
+            z = mu
+        else:
+            eps = jax.random.normal(self.make_rng("dropout"), mu.shape,
+                                    jnp.float32)
+            z = mu + jnp.exp(0.5 * logvar) * eps
         d = nn.Dense(flat.shape[-1], param_dtype=jnp.float32,
                      name="vae_fc_up")(z)
         d = jax.nn.relu(d).reshape(v.shape)
@@ -204,7 +216,7 @@ class SegResNetVAE(nn.Module):
         recon = Conv3d(xin.shape[-1], 1, name="vae_recon")(d)
         vae_loss = jnp.mean((recon - xin) ** 2) + 1e-3 * jnp.mean(
             mu ** 2 + jnp.exp(logvar) - logvar - 1)
-        return seg, vae_loss
+        return seg, {"vae_loss": vae_loss.astype(jnp.float32)}
 
 
 # ---------------------------------------------------------------------------

