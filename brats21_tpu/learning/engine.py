@@ -141,13 +141,40 @@ class Engine:
 
         n_dev = self.mesh.shape["data"]
 
+        if self.mesh.shape.get("space", 1) > 1 and not use_tta and not sliding:
+            # volume sharded along Z across the 'space' axis (GSPMD inserts
+            # the conv halo exchanges) — for volumes/models too large for
+            # one chip; full output tree kept for loss parity
+            from ..parallel.distributed import spatial_sharded_forward
+            from ..ops.tta import main_head
+
+            def spatial_fn(variables, img, target=None):
+                x = img.astype(jnp.bfloat16 if use_amp else jnp.float32)
+                outputs = spatial_sharded_forward(
+                    self.mesh, apply_eval, variables, x, full_outputs=True)
+                loss = (deep_supervision_loss(self.criterion, outputs, target)
+                        if with_target else jnp.zeros([], jnp.float32))
+                probs = jax.nn.sigmoid(main_head(outputs).astype(jnp.float32))
+                return probs, loss
+
+            self._eval_cache[key] = spatial_fn
+            return spatial_fn
+
         def member_fn(variables, img, target):
             # wire dtype may be fp16; compute in bf16 (amp) or fp32
             x = img.astype(jnp.bfloat16 if use_amp else jnp.float32)
             if sliding and use_tta:
                 # TTA composes over the sliding-window inferer, as in the
-                # reference (_apply_tta -> _compute_output, engine.py:228-231)
+                # reference (_apply_tta -> _compute_output, engine.py:228-231);
+                # on a mesh each TTA combo's window grid is striped across
+                # the devices (parallel/distributed.sharded_sliding_window)
                 def sw_apply(v):
+                    if n_dev > 1:
+                        from ..parallel.distributed import \
+                            sharded_sliding_window
+                        return sharded_sliding_window(
+                            self.mesh, lambda w: apply_eval(variables, w),
+                            v, roi)
                     return sliding_window_inference(
                         v, roi, lambda w: apply_eval(variables, w),
                         sw_batch_size=2)
@@ -209,6 +236,54 @@ class Engine:
         self._eval_cache[key] = fn
         return fn
 
+    def _get_batched_eval_fn(self, model, shape: Tuple[int, ...],
+                             with_target: bool) -> Callable:
+        """Case-parallel plain eval (no TTA/sliding): a stack of cases
+        sharded over the mesh 'data' axis, (variables, imgs[N,...],
+        targets?) → (sigmoid probs[N,...] fp32, per-case loss[N]).
+
+        Per-case losses are the vmapped deep-supervision loss on batch-of-1
+        slices, bit-matching the serial per-case path. This stripes the
+        reference's case-serial evaluate loop (engine.py:163-296) across
+        devices when TTA/window parallelism is idle."""
+        key = (id(model), shape, "case_batched", with_target)
+        if key in self._eval_cache:
+            return self._eval_cache[key]
+        use_amp = not self.cfg.no_amp
+
+        def member_fn(variables, imgs, targets):
+            x = imgs.astype(jnp.bfloat16 if use_amp else jnp.float32)
+            outputs = model.apply(variables, x, deterministic=True)
+            from ..ops.tta import main_head
+            probs = jax.nn.sigmoid(main_head(outputs).astype(jnp.float32))
+            if with_target:
+                def case_loss(out, tgt):
+                    add = lambda a: a[None]
+                    return deep_supervision_loss(
+                        self.criterion,
+                        jax.tree_util.tree_map(add, out),
+                        jax.tree_util.tree_map(add, tgt))
+                losses = jax.vmap(case_loss)(outputs, targets)
+            else:
+                losses = jnp.zeros((imgs.shape[0],), jnp.float32)
+            return probs, losses
+
+        if with_target:
+            fn = jax.jit(member_fn)
+        else:
+            fn = jax.jit(lambda v, i: member_fn(v, i, None))
+        self._eval_cache[key] = fn
+        return fn
+
+    def _post_batched(self, probs: Array, post_kwargs: Dict[str, Any]) -> Array:
+        """post_process over a stack of cases. The CC-labeling / replace
+        transforms operate on one volume (postprocess.py:252-268), so they
+        are vmapped over the case axis; plain thresholding is batch-safe."""
+        kw = post_kwargs or {}
+        if kw.get("cleaning_areas") or kw.get("replace_value"):
+            return jax.vmap(lambda p: post_process(p[None], **kw)[0])(probs)
+        return post_process(probs, **kw)
+
     def _pad_case(self, img: np.ndarray, use_tta: bool, bucket: int
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host-side pad of [X,Y,Z,C] to the eval bucket (ceil-before /
@@ -262,24 +337,129 @@ class Engine:
             # number of distinct XLA compilations across cases
             bucket = int(os.environ.get("BRATS21_EVAL_BUCKET", "8"))
 
+        n_dev = self.mesh.shape["data"]
+        # case-parallel fast path: when neither TTA-parallelism nor
+        # window-parallelism occupies the mesh, stripe whole CASES across
+        # the 'data' axis instead (VERDICT round-1 #6; the reference is
+        # strictly case-serial, engine.py:163-296)
+        case_parallel = (n_dev > 1 and not use_tta and not sliding
+                         and not perform_staple
+                         and self.mesh.shape.get("space", 1) == 1
+                         and not os.environ.get("BRATS21_EVAL_SERIAL"))
+        n_cases = len(loader)
+        done = 0
+        pending: Dict[Tuple, List[Dict[str, Any]]] = {}
+
+        def finish_case(case: Dict[str, Any], fused_np: np.ndarray,
+                        loss_val: Optional[float], elapsed: float) -> None:
+            nonlocal done
+            done += 1
+            self.val_step += 1
+            if loss_val is not None:
+                losses.update(loss_val)
+                case_metrics = compute_case_metrics(
+                    fused_np, case["tgt_padded"][None], metrics_wanted)
+                for name, meter in metric_meters.items():
+                    vals = case_metrics[name.title()]
+                    meter.update(np.asarray(vals).ravel())
+                if report is not None:
+                    report.add(case["batch"]["patient_id"][0], case_metrics)
+            batch_time.update(elapsed)
+            if done % cfg.log_val_interval == 0 or done == n_cases:
+                progress.display(done)
+                self.tb.log_meters(self.val_step,
+                                   [losses, *metric_meters.values()],
+                                   step_mode=f"{step_mode}_step")
+            if save_seg:
+                assert output_path, "if save_seg, output_path is needed"
+                case_dir = output_path
+                if getattr(cfg, "create_patient_dir", False):
+                    case_dir = os.path.join(output_path,
+                                            case["batch"]["patient_id"][0])
+                self._save_segmentation(case["batch"], fused_np[0],
+                                        case["p_b"], case["p_a"],
+                                        case_dir, suffix_seg_name)
+
+        def flush_group(cases: List[Dict[str, Any]]) -> None:
+            """Run up to n_dev same-shape cases as one batch sharded over
+            the mesh (padded to the mesh width so each shape compiles one
+            executable)."""
+            t_start = time.time()
+            k = len(cases)
+            with_target = cases[0]["tgt_padded"] is not None
+
+            def stack(key):
+                arr = np.stack([c[key] for c in cases])
+                if k < n_dev:
+                    arr = np.concatenate(
+                        [arr, np.repeat(arr[-1:], n_dev - k, axis=0)])
+                return arr
+
+            imgs = stack("padded").astype(np.float16)
+            img_dev = self._put_batch(imgs)
+            target_dev = None
+            if with_target:
+                target_dev = self._put_batch(stack("tgt_padded"))
+                if cases[0].get("dm") is not None:
+                    target_dev = (target_dev, self._put_batch(stack("dm")))
+
+            probs_sum = None
+            loss_sum = np.zeros(n_dev, np.float32)
+            for member in members:
+                model, variables = member if isinstance(member, tuple) \
+                    else (self.model, member)
+                fn = self._get_batched_eval_fn(model, imgs.shape, with_target)
+                if with_target:
+                    probs, l = fn(variables, img_dev, target_dev)
+                else:
+                    probs, l = fn(variables, img_dev)
+                loss_sum = loss_sum + np.asarray(l)
+                probs_sum = probs if probs_sum is None else probs_sum + probs
+
+            fused = self._post_batched(probs_sum / len(members), post_kwargs)
+            brain = (img_dev != 0).any(axis=-1, keepdims=True)
+            fused = np.asarray(fused * brain.astype(fused.dtype))
+            per_case = (time.time() - t_start) / k
+            for i, c in enumerate(cases):
+                finish_case(c, fused[i:i + 1],
+                            float(loss_sum[i]) / len(members)
+                            if with_target else None, per_case)
+
         t0 = time.time()
-        for batch_idx, batch in enumerate(loader):
+        for batch in loader:
             img_np = batch["img"][0]                      # [X,Y,Z,4]
             target_np = batch.get("seg")
-            self.val_step += 1
 
             padded, p_b, p_a = self._pad_case(img_np, use_tta, bucket)
+            with_target = target_np is not None
+            tgt_padded = (self._pad_with(target_np[0], p_b, p_a)
+                          if with_target else None)
+            dm = None
+            if with_target and "boundary" in cfg.criterion \
+                    and "distance_map" in batch:
+                dm = self._pad_with(batch["distance_map"][0], p_b, p_a)
+            case = dict(batch=batch, padded=padded, p_b=p_b, p_a=p_a,
+                        tgt_padded=tgt_padded, dm=dm)
+
+            if case_parallel:
+                group = pending.setdefault(
+                    (padded.shape, with_target, dm is not None), [])
+                group.append(case)
+                if len(group) == n_dev:
+                    flush_group(group)
+                    group.clear()
+                    t0 = time.time()
+                continue
+
+            # ---- serial per-case path (TTA / sliding / STAPLE / 1 device)
             # fp16 over the wire (z-scored values fit comfortably); the
             # eval fn casts to bf16/fp32 on device. Background masking
             # relies on exact zeros, which fp16 preserves.
             img_dev = jnp.asarray(padded.astype(np.float16))[None]
-            with_target = target_np is not None
             target_dev = None
             if with_target:
-                tgt_padded = self._pad_with(target_np[0], p_b, p_a)
                 target_dev = jnp.asarray(tgt_padded)[None]
-                if "boundary" in cfg.criterion and "distance_map" in batch:
-                    dm = self._pad_with(batch["distance_map"][0], p_b, p_a)
+                if dm is not None:
                     target_dev = (target_dev, jnp.asarray(dm)[None])
 
             member_posts = []
@@ -309,38 +489,17 @@ class Engine:
                 fused = post_process(probs_sum / len(members), **post_kwargs)
             # background masking (engine.py:259)
             brain = (img_dev != 0).any(axis=-1, keepdims=True)
-            fused = fused * brain.astype(fused.dtype)
-
-            if with_target:
-                losses.update(float(loss_sum) / len(members))
-                seg_target = target_dev[0] if isinstance(target_dev, tuple) \
-                    else target_dev
-                case_metrics = compute_case_metrics(
-                    np.asarray(fused), np.asarray(seg_target), metrics_wanted)
-                for name, meter in metric_meters.items():
-                    vals = case_metrics[name.title()]
-                    meter.update(np.asarray(vals).ravel())
-                if report is not None:
-                    report.add(batch["patient_id"][0], case_metrics)
-
-            batch_time.update(time.time() - t0)
+            fused = np.asarray(fused * brain.astype(fused.dtype))
+            finish_case(case, fused,
+                        float(loss_sum) / len(members) if with_target
+                        else None,
+                        time.time() - t0)
             t0 = time.time()
 
-            if ((batch_idx + 1) % cfg.log_val_interval == 0
-                    or (batch_idx + 1) == len(loader)):
-                progress.display(batch_idx + 1)
-                self.tb.log_meters(self.val_step,
-                                   [losses, *metric_meters.values()],
-                                   step_mode=f"{step_mode}_step")
-
-            if save_seg:
-                assert output_path, "if save_seg, output_path is needed"
-                case_dir = output_path
-                if getattr(cfg, "create_patient_dir", False):
-                    case_dir = os.path.join(output_path,
-                                            batch["patient_id"][0])
-                self._save_segmentation(batch, np.asarray(fused[0]), p_b, p_a,
-                                        case_dir, suffix_seg_name)
+        # flush remaining partial shape-groups (case-parallel mode)
+        for group in pending.values():
+            if group:
+                flush_group(group)
 
         self.tb.log_meters(epoch, [losses, *metric_meters.values()],
                            step_mode=f"{step_mode}_epoch")

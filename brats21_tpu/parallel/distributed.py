@@ -27,7 +27,7 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import tta as tta_ops
 from ..ops.tta import main_head
@@ -186,6 +186,57 @@ def sharded_sliding_window(mesh: Mesh, predictor: Callable[[Array], Any],
     stitched = fn(x, jnp.asarray(starts_dev), jnp.asarray(valid_dev))
     slices = tuple(slice(p[0], p[0] + s) for p, s in zip(pads[1:4], spatial))
     return stitched[(slice(None),) + slices + (slice(None),)]
+
+
+# ---------------------------------------------------------------------------
+# Full-model spatially-sharded inference (GSPMD)
+# ---------------------------------------------------------------------------
+
+
+def spatial_sharded_forward(mesh: Mesh, apply_fn: Callable[[Any, Array], Any],
+                            variables: Any, x: Array,
+                            axis: str = "space",
+                            full_outputs: bool = False) -> Any:
+    """Run a full model forward with the volume sharded along Z (spatial
+    axis 3) across the mesh's ``axis`` — the convnet analog of context
+    parallelism (SURVEY.md §5 long-context plan).
+
+    Instead of hand-writing halo exchanges per layer, the forward is jitted
+    under GSPMD with a sharded input: XLA inserts the halo collectives for
+    every windowed op (conv/pool) and all-reduces for the global reductions
+    (EvoNorm group-std, SE global pool) automatically — the idiomatic TPU
+    route for models/volumes too large for one chip. Z is chosen because
+    the 16-way TTA set permutes/flips only the X/Y axes (ops/tta.py), so
+    the sharding composes with TTA.
+
+    Returns the replicated main-head logits (or, with ``full_outputs``, the
+    whole output tree incl. deep-supervision heads, for loss parity). Exact
+    vs the unsharded forward (tests/test_parallel.py)."""
+    from ..ops.tta import main_head
+
+    n = mesh.shape[axis]
+    b, s0, s1, s2, c = x.shape
+    pad = (-s2) % n
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)])
+    spec = P(None, None, None, axis, None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def fn(v, inp):
+        out = apply_fn(v, inp)
+        if not full_outputs:
+            out = main_head(out)
+        # replicate the outputs so downstream host/post code sees one array
+        return jax.tree_util.tree_map(
+            lambda o: jax.lax.with_sharding_constraint(o, repl), out)
+
+    out = fn(vs, xs)
+    if pad:
+        out = jax.tree_util.tree_map(lambda o: o[:, :, :, :s2], out)
+    return out
 
 
 # ---------------------------------------------------------------------------
