@@ -10,6 +10,13 @@ import time
 import warnings
 from datetime import datetime
 
+# multi-host: jax.distributed must come up before ANY import initialises the
+# XLA backend (orbax/flax touch it at import time) — multihost itself
+# imports jax lazily (parallel/multihost.py env contract)
+from ..parallel.multihost import maybe_initialize_distributed
+
+_DISTRIBUTED = maybe_initialize_distributed()
+
 import jax
 import numpy as np
 
@@ -63,15 +70,21 @@ def setup_save_path(cfg: TrainConfig) -> dict:
 
 def main(argv=None) -> None:
     total_start = time.time()
+    # jax.devices() spans all hosts when _DISTRIBUTED (data axis over DCN)
+    from ..parallel.multihost import is_primary
+    distributed = _DISTRIBUTED
     cfg = get_train_args(argv)
     h_params = setup_save_path(cfg)
+    primary = is_primary()
 
-    if not cfg.resume:
+    if not cfg.resume and primary:
         cfg.to_yaml(os.path.join(cfg.save_path, "config.yaml"))
 
-    logger = set_main_logger(os.path.join(cfg.save_path, "logfile.log"),
-                             verbosity=max(cfg.verbosity, 1))
-    logger.info("devices: %s", jax.devices())
+    logger = set_main_logger(
+        os.path.join(cfg.save_path, "logfile.log") if primary else None,
+        verbosity=max(cfg.verbosity, 1))
+    logger.info("devices: %s (process %d/%d)", jax.devices(),
+                jax.process_index(), jax.process_count())
     from ..utils.profiling import (enable_compilation_cache,
                                    maybe_enable_from_env)
     maybe_enable_from_env()
@@ -85,8 +98,17 @@ def main(argv=None) -> None:
     tx = make_optimizer(cfg, steps_per_epoch)
 
     mesh = local_mesh()
-    tb = TensorBoardLogger(cfg.save_path, enabled=not cfg.no_tensorboard)
-    engine = Engine(cfg, model, criterion, mesh=mesh, tb=tb)
+    eval_mesh = None
+    if distributed:
+        # validation runs on the primary's local devices; other processes
+        # skip it and wait at the next train-step collective
+        from ..parallel.mesh import make_mesh
+        eval_mesh = make_mesh(jax.local_devices(),
+                              data=len(jax.local_devices()), space=1)
+    tb = TensorBoardLogger(cfg.save_path,
+                           enabled=not cfg.no_tensorboard and primary)
+    engine = Engine(cfg, model, criterion, mesh=mesh, tb=tb,
+                    eval_mesh=eval_mesh)
 
     rng = jax.random.PRNGKey(cfg.seed)
     patch = [p if p > 0 else 128 for p in cfg.patch_size]
@@ -107,6 +129,13 @@ def main(argv=None) -> None:
         logger.info("resumed from %s at epoch %d (best %s)", cfg.resume,
                     last_epoch, ckpt.best_value)
 
+    if distributed:
+        # the train state must be a GLOBAL array pytree replicated over the
+        # spanning mesh — mixing process-local state with globally-sharded
+        # batches deadlocks the collectives
+        from ..parallel.multihost import replicate_tree
+        state = replicate_tree(mesh, state)
+
     epoch_time = AverageMeter("Time", ":6.3f")
     progress = ProgressMeter(cfg.epochs, [epoch_time], prefix="Epoch: ")
     post_kwargs = post_kwargs_from_cfg(cfg)
@@ -125,7 +154,7 @@ def main(argv=None) -> None:
             progress.display(epoch)
 
             if cfg.fold is not None and epoch % cfg.val_frequency == 0 \
-                    and valid_loader is not None:
+                    and valid_loader is not None and primary:
                 # after swa_start the SWA-averaged weights are validated
                 # (reference engine.py:184-187)
                 use_swa = (bool(cfg.swa_start) and epoch > cfg.swa_start
@@ -134,6 +163,12 @@ def main(argv=None) -> None:
                             else state.params}
                 if state.batch_stats:
                     val_vars["batch_stats"] = state.batch_stats
+                if distributed:
+                    # validation runs on the primary's local mesh: pull the
+                    # (replicated) params to host so the eval jit stays
+                    # process-local
+                    val_vars = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x), val_vars)
                 val_meters = engine.evaluate(
                     [val_vars], valid_loader, epoch,
                     post_kwargs=post_kwargs,
@@ -146,10 +181,10 @@ def main(argv=None) -> None:
                     tb.log_scalar("Loss/overfit",
                                   val_meters["loss"].avg
                                   - train_meters["loss"].avg, epoch)
-            if cfg.fold is None and train_meters is not None:
+            if cfg.fold is None and train_meters is not None and primary:
                 ckpt.save(state, epoch, float(train_meters["loss"].avg))
 
-    if cfg.evaluate_end_training or cfg.only_evaluate:
+    if (cfg.evaluate_end_training or cfg.only_evaluate) and primary:
         # reload best (or last for SWA) and evaluate ± TTA (main_train.py:197-243)
         name = LAST_NAME if cfg.swa_start else BEST_NAME
         loaded = load_checkpoint(os.path.join(cfg.save_path, name))

@@ -295,6 +295,11 @@ def make_train_val_loaders(cfg: Any, train_in_val_mode: bool = False
                            ) -> Tuple[Optional[TrainLoader], Optional[EvalLoader]]:
     """definer.py:438-527 equivalent."""
     train_files, val_files = create_train_val_records(cfg)
+    from ..parallel.multihost import process_count, process_shard
+    if process_count() > 1:
+        # multi-host: each process loads only its stripe of the train set
+        # (equal lengths -> lock-step steps); cfg.batch_size is per-process
+        train_files = process_shard(train_files)
     needs_dm = "boundary" in cfg.criterion
     train_loader = None
     if train_files and not train_in_val_mode:

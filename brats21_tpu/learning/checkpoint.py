@@ -29,6 +29,21 @@ BEST_NAME = "best_model"
 LAST_NAME = "last_model"
 
 
+def _make_checkpointer() -> ocp.Checkpointer:
+    """On a multi-host runtime, checkpoints are written by the primary only
+    (cli/main_train.py), so orbax's cross-process barriers must be scoped to
+    process 0 — otherwise a primary-only save deadlocks in an allgather
+    waiting for processes that never call save."""
+    import jax
+    if jax.process_count() > 1:
+        mp = ocp.options.MultiprocessingOptions(primary_host=0,
+                                                active_processes={0})
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
+            multiprocessing_options=mp)
+    return ocp.PyTreeCheckpointer()
+
+
 def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
@@ -48,7 +63,7 @@ class CheckpointManager:
         self.minimize = (save_on == "loss"
                          or key_metric == "hausdorff_distance95")
         self.best_value: Optional[float] = None
-        self._ckptr = ocp.PyTreeCheckpointer()
+        self._ckptr = _make_checkpointer()
 
     def _payload(self, state: Any, epoch: int, value: float,
                  with_opt: bool) -> Dict[str, Any]:
@@ -98,7 +113,7 @@ class CheckpointManager:
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Load a checkpoint directory (best_model/last_model) for inference."""
-    return ocp.PyTreeCheckpointer().restore(path)
+    return _make_checkpointer().restore(path)
 
 
 def resume_state(state: Any, ckpt: Dict[str, Any]) -> Tuple[Any, int]:

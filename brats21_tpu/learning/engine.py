@@ -48,11 +48,16 @@ class Engine:
 
     def __init__(self, cfg: Any, model, criterion: LossFn,
                  mesh=None, tb: Optional[TensorBoardLogger] = None,
-                 labels: Sequence[str] = ("WT", "TC", "ET")):
+                 labels: Sequence[str] = ("WT", "TC", "ET"),
+                 eval_mesh=None):
         self.cfg = cfg
         self.model = model
         self.criterion = criterion
         self.mesh = mesh if mesh is not None else local_mesh()
+        # evaluation may use a different (e.g. process-local) mesh than
+        # training: on a multi-host run the train mesh spans processes
+        # while validation runs on the primary's local devices
+        self.eval_mesh = eval_mesh if eval_mesh is not None else self.mesh
         self.tb = tb or TensorBoardLogger(None, enabled=False)
         self.labels = list(labels)
         self.train_step_fn = make_train_step(
@@ -113,13 +118,27 @@ class Engine:
         return state, {"loss": losses, "batch_time": batch_time,
                        "data_time": data_time}
 
-    def _put_batch(self, arr: np.ndarray) -> Array:
+    def _put_batch(self, arr: np.ndarray, mesh=None) -> Array:
         """Shard the batch axis over the mesh's 'data' axis when divisible,
-        else replicate (batch 1 on an 8-device test mesh)."""
+        else replicate (batch 1 on an 8-device test mesh). On a mesh that
+        spans processes, ``arr`` is this process's LOCAL shard of the
+        global batch (multihost.global_batch_from_local)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-        n = self.mesh.shape["data"]
+        mesh = mesh if mesh is not None else self.mesh
+        if jax.process_count() > 1 and any(
+                d.process_index != jax.process_index()
+                for d in mesh.devices.flat):
+            from ..parallel.multihost import global_batch_from_local
+            n = mesh.shape["data"]
+            assert (arr.shape[0] * jax.process_count()) % n == 0, (
+                f"multi-host: global batch {arr.shape[0]}x"
+                f"{jax.process_count()} must divide the data axis ({n}); "
+                "pick a per-process batch_size divisible by the local "
+                "device count")
+            return global_batch_from_local(mesh, arr)
+        n = mesh.shape["data"]
         spec = P("data") if arr.shape[0] % n == 0 else P()
-        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+        return jax.device_put(arr, NamedSharding(mesh, spec))
 
     # --------------------------------------------------------------- evaluate
 
@@ -139,9 +158,10 @@ class Engine:
         def apply_eval(variables, x):
             return model.apply(variables, x, deterministic=True)
 
-        n_dev = self.mesh.shape["data"]
+        n_dev = self.eval_mesh.shape["data"]
 
-        if self.mesh.shape.get("space", 1) > 1 and not use_tta and not sliding:
+        if self.eval_mesh.shape.get("space", 1) > 1 and not use_tta \
+                and not sliding:
             # volume sharded along Z across the 'space' axis (GSPMD inserts
             # the conv halo exchanges) — for volumes/models too large for
             # one chip; full output tree kept for loss parity
@@ -151,7 +171,8 @@ class Engine:
             def spatial_fn(variables, img, target=None):
                 x = img.astype(jnp.bfloat16 if use_amp else jnp.float32)
                 outputs = spatial_sharded_forward(
-                    self.mesh, apply_eval, variables, x, full_outputs=True)
+                    self.eval_mesh, apply_eval, variables, x,
+                    full_outputs=True)
                 loss = (deep_supervision_loss(self.criterion, outputs, target)
                         if with_target else jnp.zeros([], jnp.float32))
                 probs = jax.nn.sigmoid(main_head(outputs).astype(jnp.float32))
@@ -173,8 +194,8 @@ class Engine:
                         from ..parallel.distributed import \
                             sharded_sliding_window
                         return sharded_sliding_window(
-                            self.mesh, lambda w: apply_eval(variables, w),
-                            v, roi)
+                            self.eval_mesh,
+                            lambda w: apply_eval(variables, w), v, roi)
                     return sliding_window_inference(
                         v, roi, lambda w: apply_eval(variables, w),
                         sw_batch_size=2)
@@ -189,8 +210,8 @@ class Engine:
                     return apply_eval(variables, win)
                 if n_dev > 1:
                     from ..parallel.distributed import sharded_sliding_window
-                    logits = sharded_sliding_window(self.mesh, predictor, x,
-                                                    roi)
+                    logits = sharded_sliding_window(self.eval_mesh,
+                                                    predictor, x, roi)
                 else:
                     logits = sliding_window_inference(x, roi, predictor,
                                                       sw_batch_size=2)
@@ -206,12 +227,12 @@ class Engine:
                     from ..parallel.distributed import sharded_tta_probs
                     if with_target:
                         probs, loss = sharded_tta_probs(
-                            self.mesh, apply_fn, x,
+                            self.eval_mesh, apply_fn, x,
                             num_classes=cfg.num_classes,
                             criterion=self.criterion, target=target)
                     else:
                         probs = sharded_tta_probs(
-                            self.mesh, apply_fn, x,
+                            self.eval_mesh, apply_fn, x,
                             num_classes=cfg.num_classes)
                         loss = jnp.zeros([], jnp.float32)
                     return probs, loss
@@ -337,14 +358,14 @@ class Engine:
             # number of distinct XLA compilations across cases
             bucket = int(os.environ.get("BRATS21_EVAL_BUCKET", "8"))
 
-        n_dev = self.mesh.shape["data"]
+        n_dev = self.eval_mesh.shape["data"]
         # case-parallel fast path: when neither TTA-parallelism nor
         # window-parallelism occupies the mesh, stripe whole CASES across
         # the 'data' axis instead (VERDICT round-1 #6; the reference is
         # strictly case-serial, engine.py:163-296)
         case_parallel = (n_dev > 1 and not use_tta and not sliding
                          and not perform_staple
-                         and self.mesh.shape.get("space", 1) == 1
+                         and self.eval_mesh.shape.get("space", 1) == 1
                          and not os.environ.get("BRATS21_EVAL_SERIAL"))
         n_cases = len(loader)
         done = 0
@@ -396,12 +417,15 @@ class Engine:
                 return arr
 
             imgs = stack("padded").astype(np.float16)
-            img_dev = self._put_batch(imgs)
+            img_dev = self._put_batch(imgs, self.eval_mesh)
             target_dev = None
             if with_target:
-                target_dev = self._put_batch(stack("tgt_padded"))
+                target_dev = self._put_batch(stack("tgt_padded"),
+                                             self.eval_mesh)
                 if cases[0].get("dm") is not None:
-                    target_dev = (target_dev, self._put_batch(stack("dm")))
+                    target_dev = (target_dev,
+                                  self._put_batch(stack("dm"),
+                                                  self.eval_mesh))
 
             probs_sum = None
             loss_sum = np.zeros(n_dev, np.float32)

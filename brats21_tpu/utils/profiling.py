@@ -69,6 +69,13 @@ def enable_compilation_cache(cache_dir: str | None = None,
     makes the second process invocation on the same shapes skip it
     entirely. Also turns on ``jax_log_compiles`` so the run log records
     compile vs run time per jitted executable."""
+    if jax.process_count() > 1:
+        # multi-process runs skip the persistent cache: reloading a
+        # cross-process executable from disk breaks its collective setup
+        # (measured: warm-cache 2-proc runs deadlock at the first psum,
+        # cold-cache runs pass) — fresh compiles are symmetric and safe
+        logger.info("multi-process run: persistent XLA cache disabled")
+        return ""
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or DEFAULT_CACHE_DIR)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
