@@ -54,6 +54,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     g.add_argument("--epochs", type=int, default=350)
     g.add_argument("--val_frequency", type=int, default=3)
     g.add_argument("--no_amp", action="store_true", default=False)
+    g.add_argument("--remat_mode", type=str, default="norm",
+                   choices=["block", "norm", "none"],
+                   help="activation rematerialization (TPU memory/perf knob)")
     g.add_argument("--criterion", type=str, default="dice",
                    choices=CRITERION_CHOICES)
     g.add_argument("--gradient_accumulation_iter", type=int, default=None)

@@ -29,6 +29,7 @@ def get_model(cfg: Any) -> nn.Module:
         get = lambda k, d=None: getattr(cfg, k, d)
 
     name = get("model")
+    remat_mode = get("remat_mode", "block") or "block"
     width = get("width", 48)
     num_classes = get("num_classes", 3)
     dropout = get("dropout", 0.0)
@@ -41,15 +42,15 @@ def get_model(cfg: Any) -> nn.Module:
         deep_supervision=True, dropout=dropout)
 
     if name == "equiunet":
-        return EquiUnet(**common)
+        return EquiUnet(**common, remat=remat_mode != "none")
     if name == "equiunet_ref":
-        return EquiUnet(**common, refinement=True)
+        return EquiUnet(**common, refinement=True, remat=remat_mode != "none")
     if name == "att_equiunet":
         return AttEquiUnet(**common)
     if name in ("equiunet_assp_evo", "equiunet_assp_evocor"):
-        return EquiUnetASSPEvo(**common)
+        return EquiUnetASSPEvo(**common, remat=remat_mode)
     if name == "equiunet_assp_evo_ref":
-        return EquiUnetASSPEvo(**common, refinement=True)
+        return EquiUnetASSPEvo(**common, refinement=True, remat=remat_mode)
 
     # NOTE: the reference's dispatch for this family has a dead branch
     # (definer.py:158 tests "att_equiunet" instead of "att_unet", so

@@ -9,7 +9,7 @@ epilogue.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,21 @@ def instance_std(x: Array, eps: float = 1e-5) -> Array:
     return jnp.sqrt(var + eps)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache()
+def _pallas_evonorm_default() -> bool:
+    """Opt-in (BRATS21_PALLAS_EVONORM=1). Measured on v5e (docs/BENCHMARKS
+    round 2): the standalone kernel LOSES to XLA — 632 ms vs 302 ms
+    full-volume forward — because XLA fuses the EvoNorm elementwise chain
+    into its neighbours while the kernel forces a materialization boundary.
+    Kept wired + parity-tested for the future fused conv+EvoNorm epilogue."""
+    import os
+    return os.environ.get("BRATS21_PALLAS_EVONORM", "0") not in (
+        "0", "false", "False")
+
+
 class EvoNorm3D(nn.Module):
     """EvoNorm S0/B0 (equiunet2021.py:55-118).
 
@@ -57,6 +72,10 @@ class EvoNorm3D(nn.Module):
     with the 'efficient' swish that ignores the v parameter (reference
     efficient=True, :100-103). v is still allocated for checkpoint parity.
     B0: running-var batch variant.
+
+    On TPU the S0 apply runs as one fused Pallas kernel (bf16 in/out, fp32
+    VPU math, backward recomputed via the XLA formula) —
+    ``use_pallas=None`` resolves from platform + BRATS21_PALLAS_EVONORM.
     """
 
     non_linear: bool = True
@@ -66,6 +85,7 @@ class EvoNorm3D(nn.Module):
     momentum: float = 0.9
     eps: float = 1e-5
     groups: int = 8
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
@@ -79,6 +99,14 @@ class EvoNorm3D(nn.Module):
             beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
             if self.non_linear:
                 v = self.param("v", nn.initializers.ones, (c,), jnp.float32)
+        if self.version == "S0":
+            pallas_ok = (self.use_pallas if self.use_pallas is not None
+                         else _pallas_evonorm_default())
+            if (self.non_linear and self.efficient and self.affine
+                    and pallas_ok):
+                from ..ops.pallas.evonorm_kernel import evonorm_s0
+                return evonorm_s0(x, gamma, beta, min(self.groups, c),
+                                  self.eps)
         xf = x.astype(jnp.float32)
         if self.version == "S0":
             if self.non_linear:
@@ -109,6 +137,14 @@ class EvoNorm3D(nn.Module):
         return out.astype(orig_dtype)
 
 
+def _evo_ctor(remat_norm: bool):
+    """EvoNorm3D, optionally checkpointed on its own: the backward then
+    recomputes only the cheap elementwise swish/group-std (keeping the bf16
+    conv outputs saved) instead of whole blocks — ~free recompute vs the
+    ~30%-of-step conv recompute of block-level remat (docs/BENCHMARKS.md)."""
+    return nn.remat(EvoNorm3D) if remat_norm else EvoNorm3D
+
+
 class ConvEvo(nn.Module):
     """conv → EvoNorm3D → dropout (equiunet2021.py:212-222)."""
 
@@ -116,12 +152,13 @@ class ConvEvo(nn.Module):
     dropout_p: float = 0.0
     kernel_size: int = 1
     dilation: int = 1
+    remat_norm: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         y = Conv3d(self.features, self.kernel_size, dilation=self.dilation,
                    kernel_init=torch_default_conv, name="conv")(x)
-        y = EvoNorm3D(name="evo")(y)
+        y = _evo_ctor(self.remat_norm)(name="evo")(y)
         return Dropout(self.dropout_p)(y, deterministic)
 
 
@@ -149,14 +186,16 @@ class ConvEvoBlockCorrected(nn.Module):
 
     features: int
     dropout_p: float = 0.0
+    remat_norm: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        Evo = _evo_ctor(self.remat_norm)
         y = Conv3d(self.features, 3, kernel_init=torch_default_conv, name="conv1")(x)
-        y = EvoNorm3D(name="evo1")(y)
+        y = Evo(name="evo1")(y)
         y = Dropout(self.dropout_p)(y, deterministic)
         y = Conv3d(self.features, 3, kernel_init=torch_default_conv, name="conv2")(y)
-        y = EvoNorm3D(name="evo2")(y)
+        y = Evo(name="evo2")(y)
         y = Dropout(self.dropout_p)(y, deterministic)
         return ResidualSELayer(r=2, name="se")(y)
 
@@ -169,6 +208,7 @@ class SimpleASPPEVO(nn.Module):
     conv_out_channels: int
     kernel_sizes: Sequence[int] = (1, 3, 3, 3)
     dilations: Sequence[int] = (1, 2, 4, 6)
+    remat_norm: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -181,6 +221,7 @@ class SimpleASPPEVO(nn.Module):
                                name=f"conv_{i}")(x))
         y = jnp.concatenate(outs, axis=-1)
         return ConvEvo(y.shape[-1], dropout_p=0.0, kernel_size=1,
+                       remat_norm=self.remat_norm,
                        name="conv_k1")(y, deterministic)
 
 
@@ -197,35 +238,57 @@ class EquiUnetASSPEvo(nn.Module):
     deep_supervision: bool = False
     dropout: float = 0.0
     refinement: bool = False
-    remat: bool = True  # rematerialize blocks: 128³ bf16 training fits HBM
+    #: rematerialization policy for 128³ bf16 training:
+    #: "block"/True — checkpoint whole ConvEvo blocks (max memory savings,
+    #:   ~30% conv recompute in the backward);
+    #: "norm" — checkpoint only the EvoNorm apply (saves the fp32 norm
+    #:   intermediates, recompute is cheap elementwise; convs kept);
+    #: "none"/False — no remat (fastest when HBM allows).
+    remat: Any = True
+
+    def _remat_mode(self) -> str:
+        if self.remat in (True, "block"):
+            return "block"
+        if self.remat in (False, "none", None):
+            return "none"
+        assert self.remat == "norm", self.remat
+        return "norm"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True):
         f = list(self.features)
         det = deterministic
+        mode = self._remat_mode()
         Block = (nn.remat(ConvEvoBlockCorrected, static_argnums=(2,))
-                 if self.remat else ConvEvoBlockCorrected)
-        down1 = Block(f[0], self.dropout, name="encoder1")(x, det)
-        down2 = Block(f[1], self.dropout, name="encoder2")(
+                 if mode == "block" else ConvEvoBlockCorrected)
+        rn = mode == "norm"
+        down1 = Block(f[0], self.dropout, rn, name="encoder1")(x, det)
+        down2 = Block(f[1], self.dropout, rn, name="encoder2")(
             max_avg_pool(down1), det)
-        down3 = Block(f[2], self.dropout, name="encoder3")(
+        down3 = Block(f[2], self.dropout, rn, name="encoder3")(
             max_avg_pool(down2), det)
-        down4 = Block(f[3], self.dropout, name="encoder4")(
+        down4 = Block(f[3], self.dropout, rn, name="encoder4")(
             max_avg_pool(down3), det)
-        assp = SimpleASPPEVO(f[3] // 4, name="aspp")(down4, det)
+        assp = SimpleASPPEVO(f[3] // 4, remat_norm=rn, name="aspp")(down4, det)
 
-        down1b = ConvEvo(f[0] // 2, self.dropout, name="bridge1")(down1, det)
-        down2b = ConvEvo(f[1] // 2, self.dropout, name="bridge2")(down2, det)
-        down3b = ConvEvo(f[2] // 2, self.dropout, name="bridge3")(down3, det)
+        down1b = ConvEvo(f[0] // 2, self.dropout, remat_norm=rn,
+                         name="bridge1")(down1, det)
+        down2b = ConvEvo(f[1] // 2, self.dropout, remat_norm=rn,
+                         name="bridge2")(down2, det)
+        down3b = ConvEvo(f[2] // 2, self.dropout, remat_norm=rn,
+                         name="bridge3")(down3, det)
 
-        up3 = upsample(ConvEvo(f[3] // 4, self.dropout, name="upconv3")(assp, det))
-        up3 = Block(f[2], self.dropout, name="decoder3")(
+        up3 = upsample(ConvEvo(f[3] // 4, self.dropout, remat_norm=rn,
+                               name="upconv3")(assp, det))
+        up3 = Block(f[2], self.dropout, rn, name="decoder3")(
             jnp.concatenate([down3b, up3], axis=-1), det)
-        up2 = upsample(ConvEvo(f[2] // 4, self.dropout, name="upconv2")(up3, det))
-        up2 = Block(f[1], self.dropout, name="decoder2")(
+        up2 = upsample(ConvEvo(f[2] // 4, self.dropout, remat_norm=rn,
+                               name="upconv2")(up3, det))
+        up2 = Block(f[1], self.dropout, rn, name="decoder2")(
             jnp.concatenate([down2b, up2], axis=-1), det)
-        up1 = upsample(ConvEvo(f[1] // 4, self.dropout, name="upconv1")(up2, det))
-        up1 = Block(f[0], self.dropout, name="decoder1")(
+        up1 = upsample(ConvEvo(f[1] // 4, self.dropout, remat_norm=rn,
+                               name="upconv1")(up2, det))
+        up1 = Block(f[0], self.dropout, rn, name="decoder1")(
             jnp.concatenate([down1b, up1], axis=-1), det)
 
         out = Conv3d(self.num_classes, 1, kernel_init=torch_default_conv,

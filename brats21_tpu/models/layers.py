@@ -13,7 +13,7 @@ free, instead of gather chains.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -215,6 +215,63 @@ def get_norm_layer(norm_type: Optional[str]) -> Optional[Callable[..., nn.Module
 # ---------------------------------------------------------------------------
 
 
+@lru_cache()
+def _pallas_conv_default() -> bool:
+    """Route eligible 3³ convs through the Pallas im2col GEMM
+    (ops/pallas/conv3d_kernel.py) when BRATS21_PALLAS_CONV=1. Off by
+    default until enabled per-platform from measured wins."""
+    import os
+    return os.environ.get("BRATS21_PALLAS_CONV", "0") not in (
+        "0", "false", "False")
+
+
+class _Conv3dCore(nn.Module):
+    """The conv compute with nn.Conv-compatible parameters (kernel
+    ``[k,k,k,C_in/fg,C_out]``, bias ``[C_out]``) so checkpoints keep the
+    ``Conv_0/kernel|bias`` tree; dispatches the hot 3³/stride-1/dilation-1
+    case to the Pallas im2col conv on request."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    dilation: int
+    use_bias: bool
+    pad: int
+    kernel_init: Callable
+    feature_group_count: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel_size
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (k, k, k, c_in // self.feature_group_count, self.features),
+            jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+
+        pallas_ok = (k == 3 and self.stride == 1 and self.dilation == 1
+                     and self.feature_group_count == 1 and self.pad == 1
+                     and not self.is_initializing()
+                     and _pallas_conv_default())
+        if pallas_ok:
+            from ..ops.pallas.conv3d_kernel import conv3x3x3
+            b = (bias if bias is not None
+                 else jnp.zeros((self.features,), jnp.float32))
+            return conv3x3x3(x, kernel.astype(x.dtype), b)
+
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (self.stride,) * 3,
+            [(self.pad, self.pad)] * 3,
+            rhs_dilation=(self.dilation,) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=self.feature_group_count)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv3d(nn.Module):
     """3D convolution, channels-last, torch-style symmetric padding.
 
@@ -236,18 +293,12 @@ class Conv3d(nn.Module):
     def __call__(self, x: Array) -> Array:
         k = self.kernel_size
         pad = self.padding if self.padding is not None else self.dilation * (k - 1) // 2
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(k, k, k),
-            strides=(self.stride,) * 3,
-            padding=[(pad, pad)] * 3,
-            kernel_dilation=(self.dilation,) * 3,
-            use_bias=self.use_bias,
+        return _Conv3dCore(
+            features=self.features, kernel_size=k, stride=self.stride,
+            dilation=self.dilation, use_bias=self.use_bias, pad=pad,
             kernel_init=self.kernel_init,
             feature_group_count=self.feature_group_count,
-            dtype=x.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+            name="Conv_0")(x)
 
 
 class WSConv3d(nn.Module):

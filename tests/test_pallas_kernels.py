@@ -50,3 +50,49 @@ def test_evonorm_pallas_matches_xla(rng):
                       / group_std(x, 8) * gamma + beta)
     got = np.asarray(evonorm_s0_pallas(x, gamma, beta, groups=8))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_evonorm_custom_vjp_grads_match_xla(rng):
+    """evonorm_s0 (Pallas fwd + recompute bwd) is gradient-identical to the
+    plain XLA formula."""
+    import jax
+    from brats21_tpu.ops.pallas.evonorm_kernel import (_evonorm_s0_xla,
+                                                       evonorm_s0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 8, 16)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(16), jnp.float32)
+
+    def loss_pallas(x, g, b):
+        return jnp.sum(evonorm_s0(x, g, b, 8, 1e-5) ** 2)
+
+    def loss_xla(x, g, b):
+        return jnp.sum(_evonorm_s0_xla(x, g, b, 8, 1e-5) ** 2)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, gamma, beta)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_evonorm_module_pallas_path_matches_xla(rng):
+    """EvoNorm3D(use_pallas=True) output == the XLA module path, bf16 in."""
+    import jax
+    from brats21_tpu.models.assp_evo import EvoNorm3D
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 6, 16)), jnp.bfloat16)
+    m_x = EvoNorm3D(use_pallas=False)
+    m_p = EvoNorm3D(use_pallas=True)
+    variables = m_x.init(jax.random.PRNGKey(0), x)
+    # non-trivial affine params
+    variables = {"params": {
+        "gamma": jnp.asarray(rng.standard_normal(16), jnp.float32),
+        "beta": jnp.asarray(rng.standard_normal(16), jnp.float32),
+        "v": variables["params"]["v"]}}
+    want = np.asarray(m_x.apply(variables, x), np.float32)
+    got = np.asarray(m_p.apply(variables, x), np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-2)  # bf16 out
+    # and exactly in fp32
+    xf = x.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(m_p.apply(variables, xf)),
+        np.asarray(m_x.apply(variables, xf)), rtol=2e-6, atol=2e-6)
