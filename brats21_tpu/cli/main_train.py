@@ -154,7 +154,7 @@ def main(argv=None) -> None:
             progress.display(epoch)
 
             if cfg.fold is not None and epoch % cfg.val_frequency == 0 \
-                    and valid_loader is not None and primary:
+                    and valid_loader is not None:
                 # after swa_start the SWA-averaged weights are validated
                 # (reference engine.py:184-187)
                 use_swa = (bool(cfg.swa_start) and epoch > cfg.swa_start
@@ -164,30 +164,50 @@ def main(argv=None) -> None:
                 if state.batch_stats:
                     val_vars["batch_stats"] = state.batch_stats
                 if distributed:
-                    # validation runs on the primary's local mesh: pull the
-                    # (replicated) params to host so the eval jit stays
-                    # process-local
+                    # every process scores its own stripe of the val cases
+                    # on its LOCAL mesh (valid_loader was striped untrimmed
+                    # at construction, pipeline.make_train_val_loaders);
+                    # the replicated params are pulled to host so the eval
+                    # jit stays process-local, then meters merge globally
                     val_vars = jax.tree_util.tree_map(
                         lambda x: np.asarray(x), val_vars)
                 val_meters = engine.evaluate(
                     [val_vars], valid_loader, epoch,
                     post_kwargs=post_kwargs,
                     step_mode="val_swa" if use_swa else "val")
+                if distributed:
+                    from ..parallel.multihost import merge_meters
+                    merge_meters(val_meters)  # collective: all processes
                 value = (val_meters["loss"].avg if cfg.save_on == "loss"
                          else float(np.nanmean(
                              val_meters[cfg.key_metric[0]].avg)))
-                ckpt.save(state, epoch, float(value))
-                if train_meters is not None:
-                    tb.log_scalar("Loss/overfit",
-                                  val_meters["loss"].avg
-                                  - train_meters["loss"].avg, epoch)
+                if primary:
+                    ckpt.save(state, epoch, float(value))
+                    if train_meters is not None:
+                        tb.log_scalar("Loss/overfit",
+                                      val_meters["loss"].avg
+                                      - train_meters["loss"].avg, epoch)
             if cfg.fold is None and train_meters is not None and primary:
                 ckpt.save(state, epoch, float(train_meters["loss"].avg))
 
-    if (cfg.evaluate_end_training or cfg.only_evaluate) and primary:
-        # reload best (or last for SWA) and evaluate ± TTA (main_train.py:197-243)
+    if cfg.evaluate_end_training or cfg.only_evaluate:
+        # reload best (or last for SWA) and evaluate ± TTA (main_train.py:197-243).
+        # Multi-host: the final evaluation is case-striped too — every
+        # process scores its stripe of valid_loader and the meters/report
+        # rows merge globally; requires the checkpoint on shared storage
+        # (the norm on TPU pods), asserted below after a write barrier.
         name = LAST_NAME if cfg.swa_start else BEST_NAME
-        loaded = load_checkpoint(os.path.join(cfg.save_path, name))
+        ckpt_path = os.path.join(cfg.save_path, name)
+        if distributed:
+            from ..parallel.multihost import (gather_objects, merge_meters,
+                                              merge_report_rows)
+            gather_objects(None)  # barrier: primary has finished writing
+            if not os.path.exists(ckpt_path):
+                raise FileNotFoundError(
+                    f"process {jax.process_index()} cannot read {ckpt_path}"
+                    " — multi-host end-of-training evaluation needs the"
+                    " checkpoint directory on storage shared by all hosts")
+        loaded = load_checkpoint(ckpt_path)
         params = loaded["swa_params"] if cfg.swa_start else loaded["params"]
         variables = {"params": params}
         if "batch_stats" in loaded:
@@ -197,9 +217,13 @@ def main(argv=None) -> None:
             engine.val_step = 0
             suffix = f"_swa{eval_type}" if cfg.swa_start else eval_type
             # incremental flush per case (reference files.py:269-333): a
-            # crash mid-eval keeps all completed rows on disk
-            report = EvaluationReport(autosave_dir=cfg.save_path,
-                                      name=f"Evaluation{suffix}")
+            # crash mid-eval keeps all completed rows on disk; non-primary
+            # processes autosave under a .procN suffix so the shared dir
+            # holds one partial per process until the merged final write
+            report = EvaluationReport(
+                autosave_dir=cfg.save_path,
+                name=(f"Evaluation{suffix}" if primary else
+                      f"Evaluation{suffix}.proc{jax.process_index()}"))
             meters = engine.evaluate(
                 [variables], valid_loader, 0, use_tta=bool(eval_type),
                 save_seg=True,
@@ -207,13 +231,18 @@ def main(argv=None) -> None:
                                          f"segmentations{eval_type}"),
                 post_kwargs=post_kwargs, report=report,
                 step_mode="metric_val")
-            report.save(cfg.save_path)
-            metric_summary = {
-                f"{k}_mean": float(np.nanmean(m.avg))
-                for k, m in meters.items()
-                if k not in ("batch_time",)}
-            tb.log_hparams({**h_params, "tta": bool(eval_type),
-                            "swa": bool(cfg.swa_start)}, metric_summary)
+            if distributed:
+                merge_meters(meters)        # collectives: every process
+                merge_report_rows(report)   # participates, primary writes
+            if primary:
+                report.name = f"Evaluation{suffix}"
+                report.save(cfg.save_path)
+                metric_summary = {
+                    f"{k}_mean": float(np.nanmean(m.avg))
+                    for k, m in meters.items()
+                    if k not in ("batch_time",)}
+                tb.log_hparams({**h_params, "tta": bool(eval_type),
+                                "swa": bool(cfg.swa_start)}, metric_summary)
     tb.close()
     logger.info("total time: %.1fs", time.time() - total_start)
 

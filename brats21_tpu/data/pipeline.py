@@ -295,11 +295,15 @@ def make_train_val_loaders(cfg: Any, train_in_val_mode: bool = False
                            ) -> Tuple[Optional[TrainLoader], Optional[EvalLoader]]:
     """definer.py:438-527 equivalent."""
     train_files, val_files = create_train_val_records(cfg)
-    from ..parallel.multihost import process_count, process_shard
+    from ..parallel.multihost import (process_count, process_shard,
+                                      shard_eval_records)
     if process_count() > 1:
         # multi-host: each process loads only its stripe of the train set
-        # (equal lengths -> lock-step steps); cfg.batch_size is per-process
+        # (equal lengths -> lock-step steps); cfg.batch_size is per-process.
+        # Eval cases are striped untrimmed — each process scores its stripe
+        # locally and the meters are merged globally (multihost.merge_meters)
         train_files = process_shard(train_files)
+        val_files = shard_eval_records(val_files)
     needs_dm = "boundary" in cfg.criterion
     train_loader = None
     if train_files and not train_in_val_mode:

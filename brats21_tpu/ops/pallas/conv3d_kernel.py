@@ -1,18 +1,27 @@
-"""Pallas 3×3×3 convolution — im2col-in-VMEM GEMM for lane-starved widths.
+"""Pallas 3×3×3 convolution — lane-merged im2col GEMM for lane-starved widths.
 
 Why: XLA lowers a 3³ conv as accumulating taps, so the MXU contracts
 K=C_in per pass; at the flagship's width 48 that fills 48/128 of the MXU's
-K *and* N dims → ~14% utilization measured (docs/BENCHMARKS.md). This
-kernel builds the im2col block ``[TILE_M, 27·C_in]`` in VMEM and issues ONE
-``jnp.dot`` per tile, so K=27·C_in saturates the contraction dim; the
-ceiling becomes the N=C_out lane fill (48/128 ≈ 37%), ~2.7× the XLA path,
-without materializing im2col in HBM (which would be bandwidth suicide:
-27× the activation bytes).
+K *and* N dims → ~10-14% utilization measured (docs/BENCHMARKS.md). This
+kernel builds an im2col block ``[TILE_H·W, 27·C_in]`` in VMEM and issues
+ONE ``jnp.dot`` per tile, so K=27·C_in saturates the contraction dim; the
+ceiling becomes the N=C_out lane fill (48/128 ≈ 37%), without
+materializing im2col in HBM (which would be bandwidth suicide: 27× the
+activation bytes).
 
-Layout: channels-last ``[B, D, H, W, C]``, stride 1, SAME (input is padded
-by 1 outside the kernel), fp32 accumulation, output dtype = input dtype.
-The halo rows arrive via manual HBM→VMEM async DMA (BlockSpec index maps
-cannot express stride-1 overlapping windows).
+Mosaic alignment (learned on hardware, round 2): HBM→VMEM DMA slices may
+only have tile-aligned extents on the two minor (tiled) dims — W must be a
+multiple of 8 and the LANE extent a multiple of 128, so a channels-last
+``[..., W, 48]`` array cannot be DMA'd at all (XLA pads C 48→128
+physically, and the 48-lane slice of that is rejected). The kernel
+therefore moves data in a LANE-MERGED layout ``[B, D, H, W·C]`` (compact,
+no physical lane padding, W·C padded to a 128-multiple) and un-merges to
+``[W, C]`` inside VMEM, where Mosaic relayouts are legal; their cost is
+what the hardware benchmark arbitrates.
+
+Layout contract of :func:`conv3x3x3`: channels-last ``[B, D, H, W, C]``,
+stride 1, SAME, fp32 accumulation, output dtype = input dtype. The
+merge/unmerge reshapes happen at the XLA boundary inside this wrapper.
 
 :func:`conv3x3x3` is the trainable entry point: Pallas forward,
 ``custom_vjp`` backward via the XLA conv transpose formulas (recompute —
@@ -22,6 +31,7 @@ no extra residuals).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -34,50 +44,68 @@ from . import interpret_mode
 TILE_H = 8  # output rows per program
 
 
-def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, xtile, im2col, sem):
-    # grid: (B, D, H // TILE_H)
+def _lane_multiple(c: int) -> int:
+    """Smallest W granule so that W·c is a multiple of the 128-lane tile."""
+    return max(8, math.lcm(128, c) // c)
+
+
+def _conv_kernel(xp_ref, w_ref, b_ref, out_ref, xtile, sem,
+                 *, c_in: int, w_in: int, w_out: int):
+    # grid: (B, D, H // TILE_H); xp_ref is lane-merged [B, D+2, Ht, w_in*c_in]
     b = pl.program_id(0)
     d = pl.program_id(1)
     ht = pl.program_id(2)
-    th = out_ref.shape[2]
-    w_out = out_ref.shape[3]
-    c_in = xtile.shape[-1]
+    th = TILE_H
 
     dma = pltpu.make_async_copy(
-        xp_ref.at[b, pl.ds(d, 3), pl.ds(ht * th, th + 2)],
+        xp_ref.at[b, pl.ds(d, 3), pl.ds(ht * th, 2 * th)],
         xtile, sem)
     dma.start()
     dma.wait()
 
-    # im2col: [TILE_H * W, 27 * C_in], tap-major in the lane dim
+    # im2col as a value-level concat: [TILE_H * w_out, 27 * c_in],
+    # tap-major in the lane dim. The un-merge reshape and the three
+    # sub-sublane-aligned k-shifts are VMEM relayouts Mosaic schedules.
+    cols = []
     for i in range(3):
+        xi = xtile[i].reshape(2 * th, w_in, c_in)
         for j in range(3):
+            rows = xi[j:j + th]                       # [th, w_in, c_in]
             for k in range(3):
-                t = (i * 3 + j) * 3 + k
-                patch = xtile[i, j:j + th, k:k + w_out, :]
-                im2col[:, t * c_in:(t + 1) * c_in] = patch.reshape(
-                    th * w_out, c_in)
-
-    acc = jnp.dot(im2col[:], w_ref[:], preferred_element_type=jnp.float32)
+                cols.append(rows[:, k:k + w_out, :].reshape(
+                    th * w_out, c_in))
+    im2col = jnp.concatenate(cols, axis=1)
+    acc = jnp.dot(im2col, w_ref[:], preferred_element_type=jnp.float32)
     acc = acc + b_ref[:].astype(jnp.float32)
-    out_ref[:] = acc.reshape(1, 1, th, w_out, -1).astype(out_ref.dtype)
+    c_out = w_ref.shape[-1]
+    out_ref[...] = acc.astype(out_ref.dtype).reshape(
+        1, 1, th, w_out * c_out)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _conv3x3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array
                       ) -> jax.Array:
     """x: [B, D, H, W, C_in]; w: [3, 3, 3, C_in, C_out]; bias: [C_out]."""
     b, d, h, w_sp, c_in = x.shape
     c_out = w.shape[-1]
-    pad_h = (-h) % TILE_H
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + pad_h), (1, 1), (0, 0)))
-    hp = h + pad_h
+    # output W granule: lanes of the merged out block must tile by 128
+    w_out_p = -(-w_sp // _lane_multiple(c_out)) * _lane_multiple(c_out)
+    # input W granule likewise, with room for the left/right halo
+    w_in_p = -(-(w_out_p + 2) // _lane_multiple(c_in)) * _lane_multiple(c_in)
+    n_tiles = -(-h // TILE_H)
+    hp = TILE_H * n_tiles
+    # halos: D ±1; H top 1 + enough bottom so every tile DMAs 2*TILE_H rows
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, hp + TILE_H - h - 1),
+                     (1, w_in_p - w_sp - 1), (0, 0)))
+    xp = xp.reshape(b, d + 2, hp + TILE_H, w_in_p * c_in)
     w2 = w.reshape(27 * c_in, c_out)
 
+    kernel = functools.partial(_conv_kernel, c_in=c_in, w_in=w_in_p,
+                               w_out=w_out_p)
     out = pl.pallas_call(
-        _conv_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, d, hp, w_sp, c_out), x.dtype),
-        grid=(b, d, hp // TILE_H),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d, hp, w_out_p * c_out), x.dtype),
+        grid=(b, d, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # xp in HBM
             pl.BlockSpec(memory_space=pl.ANY if interpret_mode()
@@ -86,18 +114,18 @@ def _conv3x3x3_pallas(x: jax.Array, w: jax.Array, bias: jax.Array
                          else pltpu.VMEM),                     # bias
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, TILE_H, w_sp, c_out),
-            lambda bi, di, hi: (bi, di, hi, 0, 0),
+            (1, 1, TILE_H, w_out_p * c_out),
+            lambda bi, di, hi: (bi, di, hi, 0),
             memory_space=pl.ANY if interpret_mode() else pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, TILE_H + 2, w_sp + 2, c_in), x.dtype),
-            pltpu.VMEM((TILE_H * w_sp, 27 * c_in), x.dtype),
+            pltpu.VMEM((3, 2 * TILE_H, w_in_p * c_in), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret_mode(),
     )(xp, w2.astype(x.dtype), bias.reshape(1, c_out))
-    if pad_h:
-        out = out[:, :, :h]
+    out = out.reshape(b, d, hp, w_out_p, c_out)
+    if hp != h or w_out_p != w_sp:
+        out = out[:, :, :h, :w_sp]
     return out
 
 

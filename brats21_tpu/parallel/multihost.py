@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
-from typing import Any, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -78,6 +78,91 @@ def process_shard(records: Sequence[Any],
         return list(records)
     per = len(records) // count
     return list(records[index::count])[:per]
+
+
+def shard_eval_records(records: Sequence[Any],
+                       index: Optional[int] = None,
+                       count: Optional[int] = None) -> List[Any]:
+    """This process's stripe of the EVAL cases — unlike
+    :func:`process_shard` there is NO trimming: every case must be scored
+    exactly once, and the per-process eval loop runs no cross-process
+    collectives, so unequal stripe lengths cannot deadlock."""
+    import jax
+    index = jax.process_index() if index is None else index
+    count = jax.process_count() if count is None else count
+    if count <= 1:
+        return list(records)
+    return list(records[index::count])
+
+
+def gather_objects(obj: Any) -> List[Any]:
+    """All-gather one JSON-able object per process (ordered by process id).
+
+    Built on two ``process_allgather`` rounds (length, then padded uint8
+    payload) since the collective itself needs equal shapes everywhere.
+    This is a COLLECTIVE: every process must call it the same number of
+    times or the run deadlocks."""
+    import json
+
+    import jax
+    from jax.experimental import multihost_utils
+    if jax.process_count() == 1:
+        return [obj]
+    data = np.frombuffer(json.dumps(obj).encode("utf-8"), np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.array(data.size, np.int64))
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[:data.size] = data
+    stacked = multihost_utils.process_allgather(padded)
+    return [json.loads(bytes(stacked[i, :int(lens[i])]).decode("utf-8"))
+            for i in range(stacked.shape[0])]
+
+
+def merge_meters(meters: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge per-process AverageMeter (sum, count) state into GLOBAL
+    averages, in place, on every process (the reduction is exact: the
+    merged avg equals the serial single-process run's).
+
+    Collective — call from all processes. Meter keys are unioned across
+    processes (a process whose stripe was empty contributes count 0)."""
+    import jax
+
+    from ..utils.meter import AverageMeter
+    if jax.process_count() == 1:
+        return meters
+    payload = {
+        name: {"sum": np.asarray(m.sum, np.float64).tolist(),
+               "count": int(m.count)}
+        for name, m in meters.items()
+    }
+    gathered = gather_objects(payload)
+    names: List[str] = []
+    for g in gathered:
+        names.extend(k for k in g if k not in names)
+    for name in names:
+        total: Any = 0.0
+        count = 0
+        for g in gathered:
+            ent = g.get(name)
+            if not ent or ent["count"] == 0:
+                continue
+            total = total + np.asarray(ent["sum"], np.float64)
+            count += ent["count"]
+        m = meters.setdefault(name, AverageMeter(name, ":.4f"))
+        m.sum, m.count = total, count
+        m.avg = total / count if count else 0.0
+    return meters
+
+
+def merge_report_rows(report) -> None:
+    """Gather every process's EvaluationReport rows into this process's
+    report (collective; primary then writes the merged xlsx/CSV)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    for rows in gather_objects(report.rows):
+        for pid, row in rows.items():
+            report.rows.setdefault(pid, {}).update(row)
 
 
 def global_batch_from_local(mesh, local_arr: np.ndarray, axis: str = "data"):

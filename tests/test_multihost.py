@@ -33,6 +33,66 @@ def test_multiprocess_train_step_lockstep():
     assert "params identical" in proc.stdout
 
 
+_MERGE_WORKER = r"""
+import os, sys
+import numpy as np
+pid = int(os.environ["BRATS21_PROCESS_ID"])
+from brats21_tpu.parallel.multihost import (maybe_initialize_distributed,
+    gather_objects, merge_meters, merge_report_rows)
+assert maybe_initialize_distributed()
+from brats21_tpu.utils.meter import AverageMeter
+from brats21_tpu.utils.reporting import EvaluationReport
+
+# gather_objects: arbitrary JSON payloads, ordered by process id
+got = gather_objects({"pid": pid, "cases": ["a", "b"] if pid == 0 else ["c"]})
+assert [g["pid"] for g in got] == [0, 1], got
+
+# merge_meters: exact global average incl. vector sums and count-0 keys
+m = AverageMeter("dice", ":.4f")
+if pid == 0:
+    m.update(np.array([1.0, 0.5, 0.0])); m.update(np.array([0.0, 0.5, 1.0]))
+else:
+    m.update(np.array([0.5, 0.5, 0.5]))
+empty = AverageMeter("hd95", ":.4f")  # only proc 1 scores this one
+if pid == 1:
+    empty.update(np.array([7.0, 8.0, 9.0]))
+meters = {"dice": m, "hd95": empty}
+merge_meters(meters)
+assert meters["dice"].count == 3
+np.testing.assert_allclose(np.asarray(meters["dice"].avg), [0.5, 0.5, 0.5])
+assert meters["hd95"].count == 1
+np.testing.assert_allclose(np.asarray(meters["hd95"].avg), [7.0, 8.0, 9.0])
+
+# merge_report_rows: union of per-process case rows on every process
+rep = EvaluationReport()
+rep.add(f"case_{pid}", {"dice": np.array([0.1 * (pid + 1)] * 3)})
+merge_report_rows(rep)
+assert sorted(rep.rows) == ["case_0", "case_1"], rep.rows
+print("MERGE_OK", flush=True)
+"""
+
+
+def test_multiprocess_gather_and_merge():
+    """2 procs: gather_objects ordering, exact meter merging (vector sums,
+    count-0 keys unioned), report-row union — the primitives behind
+    multi-host case-striped evaluation."""
+    procs = []
+    for pid in range(2):
+        env = _clean_env({
+            "JAX_PLATFORMS": "cpu",
+            "BRATS21_COORDINATOR": "127.0.0.1:9767",
+            "BRATS21_NUM_PROCESSES": "2",
+            "BRATS21_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _MERGE_WORKER], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid}:\n{o[-3000:]}"
+        assert "MERGE_OK" in o
+
+
 @pytest.mark.slow
 def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
     """The full main_train CLI across 2 processes: per-process record
@@ -46,7 +106,7 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
             "--epochs", "1", "--val_frequency", "1",
             "--patch_size", "32", "32", "32", "--batch_size", "4",
             "--num_workers", "1", "--fold", "0", "--no_tensorboard",
-            "--no_full_name"]
+            "--no_full_name", "--evaluate_end_training"]
     procs = []
     for pid in range(2):
         env = _clean_env({
@@ -71,6 +131,20 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
     assert os.path.exists(os.path.join(save, "config.yaml"))
     assert os.path.isdir(os.path.join(save, "best_model"))
     assert os.path.exists(os.path.join(save, "logfile.log"))
+    # end-of-training eval was case-striped across both processes and the
+    # merged report holds EVERY val-fold case (fold 0 of 12 via KFold(5))
+    from brats21_tpu.data.discovery import kfold_split
+    n_val = len(kfold_split(list(range(12)), fold=0, n_splits=5,
+                            seed=123)[1])
+    for suffix in ("", "_tta"):
+        csv = os.path.join(save, f"Evaluation{suffix}.csv")
+        assert os.path.exists(csv), os.listdir(save)
+        with open(csv) as f:
+            rows = [l for l in f.read().splitlines() if l.strip()]
+        assert len(rows) - 1 == n_val, (csv, rows)
+    # every case's segmentation got saved (each process wrote its stripe)
+    segs = glob.glob(os.path.join(save, "segmentations", "*.nii.gz"))
+    assert len(segs) == n_val, segs
 
 
 @pytest.fixture(scope="module")

@@ -96,3 +96,61 @@ def test_evonorm_module_pallas_path_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(m_p.apply(variables, xf)),
         np.asarray(m_x.apply(variables, xf)), rtol=2e-6, atol=2e-6)
+
+
+def test_conv3x3x3_pallas_matches_xla(rng):
+    """Pallas im2col conv forward == the XLA conv at odd/unaligned shapes
+    (exercises the W/H alignment padding, conv3d_kernel.py)."""
+    from brats21_tpu.ops.pallas.conv3d_kernel import (_conv3x3x3_xla,
+                                                      conv3x3x3)
+    for shape, cout in [((1, 6, 11, 7, 5), 9), ((2, 5, 16, 8, 4), 6),
+                        ((1, 4, 13, 17, 3), 4)]:
+        cin = shape[-1]
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)),
+                        jnp.float32) * 0.1
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        want = np.asarray(_conv3x3x3_xla(x, w, b))
+        got = np.asarray(conv3x3x3(x, w, b))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3x3_custom_vjp_grads_match_xla(rng):
+    """conv3x3x3 (Pallas fwd + XLA-recompute bwd) is gradient-identical to
+    the plain XLA conv."""
+    import jax
+    from brats21_tpu.ops.pallas.conv3d_kernel import (_conv3x3x3_xla,
+                                                      conv3x3x3)
+    x = jnp.asarray(rng.standard_normal((1, 4, 9, 6, 5)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 7)), jnp.float32) * 0.1
+    b = jnp.asarray(rng.standard_normal(7), jnp.float32)
+    got = jax.grad(lambda *a: jnp.sum(conv3x3x3(*a) ** 2),
+                   argnums=(0, 1, 2))(x, w, b)
+    want = jax.grad(lambda *a: jnp.sum(_conv3x3x3_xla(*a) ** 2),
+                    argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_module_pallas_path_matches_xla(rng):
+    """Conv3d with BRATS21_PALLAS_CONV=1 routes the 3^3/stride-1 case
+    through the Pallas kernel with identical (bf16-tolerance) outputs and
+    the same nn.Conv-compatible parameter tree."""
+    import jax
+    from brats21_tpu.models import layers
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 9, 10, 4)), jnp.float32)
+    m = layers.Conv3d(features=6, kernel_size=3)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(m.apply(variables, x))
+
+    layers._pallas_conv_default.cache_clear()
+    import os
+    os.environ["BRATS21_PALLAS_CONV"] = "1"
+    try:
+        got = np.asarray(m.apply(variables, x))
+    finally:
+        os.environ.pop("BRATS21_PALLAS_CONV")
+        layers._pallas_conv_default.cache_clear()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
