@@ -7,6 +7,12 @@ from __future__ import annotations
 import os
 import time
 
+# multi-host: jax.distributed must come up before ANY import initialises
+# the XLA backend (see cli/main_train.py)
+from ..parallel.multihost import maybe_initialize_distributed
+
+_DISTRIBUTED = maybe_initialize_distributed()
+
 import jax
 
 from .. import set_main_logger
@@ -38,14 +44,19 @@ def load_member(ns) -> tuple:
 
 def main(argv=None) -> None:
     total_start = time.time()
+    from ..parallel.multihost import is_primary
+    distributed = _DISTRIBUTED
+    primary = is_primary()
     config_dict, experience_name = get_inference_args(argv)
     cfg0 = config_dict["config_0"]
 
     os.makedirs(cfg0.save_path, exist_ok=True)
     logger = set_main_logger(
-        os.path.join(cfg0.save_path, "logfile_inference.log"),
+        os.path.join(cfg0.save_path, "logfile_inference.log")
+        if primary else None,
         verbosity=max(cfg0.verbosity, 1))
-    logger.info("devices: %s", jax.devices())
+    logger.info("devices: %s (process %d/%d)", jax.devices(),
+                jax.process_index(), jax.process_count())
     from ..utils.profiling import (enable_compilation_cache,
                                    maybe_enable_from_env)
     maybe_enable_from_env()
@@ -69,10 +80,21 @@ def main(argv=None) -> None:
     members = [load_member(ns) for ns in config_dict.values()]
     logger.info("ensemble of %d member(s)", len(members))
 
-    engine = Engine(cfg, members[0][0], criterion, mesh=local_mesh())
+    # multi-host: the loaders striped the cases per process (pipeline);
+    # each process scores its stripe on its LOCAL mesh, then report rows
+    # merge to the primary (reference main_inference.py is single-GPU)
+    if distributed:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(jax.local_devices(),
+                         data=len(jax.local_devices()), space=1)
+    else:
+        mesh = local_mesh()
+    engine = Engine(cfg, members[0][0], criterion, mesh=mesh)
+    base_name = f"Evaluation_inference_{cfg0.on}{experience_name}"
     report = EvaluationReport(
         autosave_dir=cfg0.save_path,
-        name=f"Evaluation_inference_{cfg0.on}{experience_name}")
+        name=(base_name if primary else
+              f"{base_name}.proc{jax.process_index()}"))
     engine.evaluate(
         members, loader, 0,
         use_tta=bool(cfg0.tta),
@@ -84,7 +106,11 @@ def main(argv=None) -> None:
         post_kwargs=post_kwargs_from_cfg(cfg0),
         report=report if cfg0.on in ("val", "train") else None,
         step_mode=f"metric_{cfg0.on}")
-    if cfg0.on in ("val", "train"):
+    if distributed:
+        from ..parallel.multihost import merge_report_rows
+        merge_report_rows(report)  # collective: every process joins
+    if cfg0.on in ("val", "train") and primary:
+        report.name = base_name
         report.save(cfg0.save_path)
     logger.info("total time: %.1fs", time.time() - total_start)
 

@@ -301,8 +301,11 @@ def make_train_val_loaders(cfg: Any, train_in_val_mode: bool = False
         # multi-host: each process loads only its stripe of the train set
         # (equal lengths -> lock-step steps); cfg.batch_size is per-process.
         # Eval cases are striped untrimmed — each process scores its stripe
-        # locally and the meters are merged globally (multihost.merge_meters)
-        train_files = process_shard(train_files)
+        # locally and the meters are merged globally (multihost.merge_meters).
+        # In train_in_val_mode the train set IS the eval set, so it must be
+        # striped untrimmed too (every case scored exactly once).
+        train_files = (shard_eval_records(train_files) if train_in_val_mode
+                       else process_shard(train_files))
         val_files = shard_eval_records(val_files)
     needs_dm = "boundary" in cfg.criterion
     train_loader = None
@@ -336,5 +339,11 @@ def make_test_loader(cfg: Any) -> Optional[EvalLoader]:
     records = make_file_records(db, with_seg=False)
     if not records:
         return None
+    from ..parallel.multihost import process_count, shard_eval_records
+    if process_count() > 1:
+        # multi-host inference: each process decodes + scores its stripe
+        # (possibly empty — the loader then just yields nothing and the
+        # process joins the final merge collectives with zero rows)
+        records = shard_eval_records(records)
     ds = BraTSDataset(records, with_seg=False, remove_outliers=False)
     return EvalLoader(ds, num_workers=max(getattr(cfg, "num_workers", 2) // 2, 1))

@@ -146,6 +146,41 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
     segs = glob.glob(os.path.join(save, "segmentations", "*.nii.gz"))
     assert len(segs) == n_val, segs
 
+    # ---- 2-process main_inference over the trained run: cases striped,
+    # report rows merged to the primary (reference is single-GPU)
+    out = str(tmp_path / "inf")
+    argv_inf = ["-m", "brats21_tpu.cli.main_inference",
+                "--config", os.path.join(save, "config.yaml"),
+                "--on", "val", "--output", out,
+                "--num_workers", "1"]
+    procs = []
+    for pid in range(2):
+        env = _clean_env({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "BRATS21_COORDINATOR": "127.0.0.1:9771",
+            "BRATS21_NUM_PROCESSES": "2",
+            "BRATS21_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable] + argv_inf, env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    if any(p.returncode != 0 for p in procs):
+        msg = "\n\n".join(
+            f"=== inf proc {pid} rc={p.returncode} ===\n{o[-3000:]}"
+            for pid, (p, o) in enumerate(zip(procs, outs)))
+        raise AssertionError(msg)
+    csvs = glob.glob(os.path.join(out, "Evaluation_inference_val*.csv"))
+    merged = [c for c in csvs if ".proc" not in c]
+    assert merged, csvs
+    with open(merged[0]) as f:
+        rows = [l for l in f.read().splitlines() if l.strip()]
+    assert len(rows) - 1 == n_val, rows
+    segs = glob.glob(os.path.join(out, "Inference_segmentations_val",
+                                  "*.nii.gz"))
+    assert len(segs) == n_val, segs
+
 
 @pytest.fixture(scope="module")
 def synthetic_case_12(tmp_path_factory):

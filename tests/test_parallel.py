@@ -194,12 +194,19 @@ class _ListLoader:
         return iter(self.batches)
 
 
-def test_engine_case_parallel_eval_matches_serial(mesh, rng, monkeypatch,
-                                                  tmp_path):
+@pytest.mark.parametrize("mesh_name", ["mesh", "space_mesh"])
+def test_engine_case_parallel_eval_matches_serial(mesh_name, request, rng,
+                                                  monkeypatch, tmp_path):
     """Case-striped evaluation (cases sharded over the mesh 'data' axis,
     VERDICT round-1 #6) is loss/metric/output-identical to the serial
-    per-case loop, including partial final groups and mixed shapes."""
+    per-case loop, including partial final groups and mixed shapes.
+
+    On the data×space mesh the case and spatial shardings COMPOSE: cases
+    stripe over 'data' while each volume Z-shards over 'space' (GSPMD
+    halo exchanges), still output-identical to the serial loop."""
     import glob
+
+    mesh = request.getfixturevalue(mesh_name)
 
     from brats21_tpu.config import TrainConfig
     from brats21_tpu.learning.engine import Engine
@@ -351,3 +358,62 @@ def test_engine_spatial_eval_fn_matches_single(space_mesh, rng):
     np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_one),
                                atol=2e-5)
     np.testing.assert_allclose(float(l_sp), float(l_one), rtol=1e-5)
+
+
+def test_engine_staple_member_striped_matches_serial(mesh, rng, monkeypatch):
+    """STAPLE ensembles forward all members in one member-stack-sharded jit
+    (engine._get_member_striped_fn); fused output and loss are identical to
+    the reference-style member-serial loop."""
+    from brats21_tpu.config import TrainConfig
+    from brats21_tpu.learning.engine import Engine
+    from brats21_tpu.learning.losses import make_criterion
+
+    cfg = TrainConfig(model="equiunet", width=4, criterion="dice",
+                      no_amp=True)
+    model = get_model(cfg)
+    members = [{"params": model.init(jax.random.PRNGKey(s),
+                                     jnp.zeros((1, 16, 16, 8, 4),
+                                               jnp.float32))["params"]}
+               for s in range(3)]
+
+    batches = []
+    for i in range(3):
+        img = rng.random((1, 16, 16, 8, 4)).astype(np.float32)
+        img[:, :2] = 0.0
+        seg = (rng.random((1, 16, 16, 8, 3)) > 0.6).astype(np.float32)
+        batches.append({
+            "img": img, "seg": seg, "patient_id": [f"s{i}"],
+            "foreground_start_coord": np.array([[0, 0, 0]]),
+            "foreground_end_coord": np.array([[16, 16, 8]]),
+            "original_shape": np.array([[16, 16, 8]]),
+            "affine": np.eye(4)[None],
+        })
+
+    class _Loader:
+        def __len__(self):
+            return len(batches)
+
+        def __iter__(self):
+            return iter(batches)
+
+    post = dict(cleaning_areas=True, cleaning_areas_threshold=2)
+
+    def run(serial):
+        if serial:
+            monkeypatch.setenv("BRATS21_STAPLE_SERIAL", "1")
+        else:
+            monkeypatch.delenv("BRATS21_STAPLE_SERIAL", raising=False)
+        engine = Engine(cfg, model, make_criterion(cfg), mesh=mesh)
+        return engine.evaluate(members, _Loader(), 0, perform_staple=True,
+                               post_kwargs=post)
+
+    m_ser = run(True)
+    m_par = run(False)
+    np.testing.assert_allclose(m_par["loss"].avg, m_ser["loss"].avg,
+                               rtol=1e-5)
+    for k in m_ser:
+        if k in ("loss", "batch_time"):
+            continue
+        np.testing.assert_allclose(np.asarray(m_par[k].avg),
+                                   np.asarray(m_ser[k].avg), atol=1e-6,
+                                   err_msg=k)
