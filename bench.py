@@ -30,8 +30,9 @@ sys.path.insert(0, REPO)
 # the axon remote-compile service; cache it across bench runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/brats21_jax_cache")
 
-CASE_SHAPE = (240, 240, 155)
-WIDTH = 48
+CASE_SHAPE = tuple(int(s) for s in os.environ.get(
+    "BENCH_CASE_SHAPE", "240,240,155").split(","))
+WIDTH = int(os.environ.get("BENCH_WIDTH", "48"))
 N_VOLUMES = int(os.environ.get("BENCH_VOLUMES", "12"))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
@@ -66,10 +67,20 @@ def preprocess_raw(img: np.ndarray):
 def bench_tpu() -> float:
     """volumes/min for the jitted full pipeline on the available accelerator.
 
-    Transfer-lean end-to-end: fp16 over the wire in (cast to bf16 on
-    device), single-channel uint8 BraTS label map out; two volumes kept in
-    flight so H2D/compute/D2H pipeline (the reference synchronizes per TTA
-    member, engine.py:234-239 — here even the host boundary overlaps).
+    Transfer-lean end-to-end (the host link is the bottleneck on this relay):
+
+    * **in**: brain-masked SPARSE wire — a packbits mask (1 bit/voxel) +
+      the nonzero voxels as packed int16 rows; a BraTS bbox-cropped volume
+      is ~50% background zeros, so this halves H2D bytes. The volume is
+      reconstructed exactly on device (cumsum-gather scatter), then
+      z-scored on device (ops/preprocess.py).
+    * **out**: BraTS labels are 4 symbols {0,1,2,4} → packed 2 bits/voxel
+      on device, unpacked by numpy on host.
+    * two volumes kept in flight so H2D/compute/D2H pipeline (the reference
+      synchronizes per TTA member, engine.py:234-239).
+
+    Dense-vs-sparse label equality is asserted at warmup; BENCH_WIRE=dense
+    falls back to the round-1 dense int16 wire.
     """
     import jax
     import jax.numpy as jnp
@@ -86,27 +97,79 @@ def bench_tpu() -> float:
 
     img = make_case()
     padded = preprocess_raw(img)
-    log(f"devices={jax.devices()} padded_shape={padded.shape}")
+    shape = padded.shape                   # [X, Y, Z, 4]
+    n_vox = shape[0] * shape[1] * shape[2]
+    log(f"devices={jax.devices()} padded_shape={shape}")
 
-    x_init = jnp.zeros((1, *padded.shape), jnp.bfloat16)
+    x_init = jnp.zeros((1, *shape), jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x_init)
 
-    @jax.jit
-    def infer(vars_, vol):
-        x = normalize_intensity_device(vol).astype(jnp.bfloat16)
+    def label_map(vars_, x):
         out, _ = model.apply(vars_, x, deterministic=True)
         probs = jax.nn.sigmoid(out.astype(jnp.float32))
-        labels = change_label_3_to_4(
-            multichannel_to_brats(threshold_probs(probs)))
-        return labels.astype(jnp.uint8)
+        return change_label_3_to_4(
+            multichannel_to_brats(threshold_probs(probs))).astype(jnp.uint8)
+
+    @jax.jit
+    def infer_dense(vars_, vol):
+        x = normalize_intensity_device(vol).astype(jnp.bfloat16)
+        return label_map(vars_, x)
+
+    from brats21_tpu.ops import wire
+
+    @jax.jit
+    def infer_sparse(vars_, bits, vals):
+        vol = wire.unpack_volume_device(bits, vals, shape[:3])
+        x = normalize_intensity_device(vol).astype(jnp.bfloat16)
+        return wire.pack_labels_device(label_map(vars_, x))
+
+    def pack_case(vol):
+        return wire.pack_volume(vol.reshape(*shape))
+
+    def unpack_labels(packed):
+        return wire.unpack_labels(packed, shape[:3])[None]
 
     # distinct per-volume host buffers so no transfer caching can hide IO
-    vols = [(padded + np.int16(i)).astype(np.int16)[None]
+    # (perturb the NONZERO voxels only — the brain mask must stay put)
+    vols = [np.where(padded != 0, padded + np.int16(i + 1), np.int16(0)
+                     ).astype(np.int16)[None]
             for i in range(max(N_VOLUMES, 2))]
 
-    t0 = time.time()
-    np.asarray(infer(variables, jnp.asarray(vols[0])))
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    sparse = os.environ.get("BENCH_WIRE", "sparse") != "dense"
+    if sparse:
+        try:
+            t0 = time.time()
+            bits0, vals0 = pack_case(vols[0])
+            got = unpack_labels(infer_sparse(variables, jnp.asarray(bits0),
+                                             jnp.asarray(vals0)))
+            log(f"sparse compile+first run: {time.time() - t0:.1f}s "
+                f"(wire {bits0.nbytes / 1e6:.1f}+{vals0.nbytes / 1e6:.1f} MB"
+                f" vs dense {vols[0].nbytes / 1e6:.1f} MB)")
+            want = np.asarray(infer_dense(variables, jnp.asarray(vols[0])))
+            np.testing.assert_array_equal(got, want)
+            log("sparse/dense label parity OK")
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            log(f"sparse wire failed ({e}); falling back to dense")
+            sparse = False
+
+    if sparse:
+        packed = [pack_case(v) for v in vols]
+        caps = {v.shape for _, v in packed}
+        log(f"sparse value-buffer caps: {caps}")
+
+        def submit(i):
+            bits, vals = packed[i % len(packed)]
+            return infer_sparse(variables, jnp.asarray(bits),
+                                jnp.asarray(vals))
+        collect = unpack_labels
+    else:
+        t0 = time.time()
+        np.asarray(infer_dense(variables, jnp.asarray(vols[0])))
+        log(f"dense compile+first run: {time.time() - t0:.1f}s")
+
+        def submit(i):
+            return infer_dense(variables, jnp.asarray(vols[i % len(vols)]))
+        collect = np.asarray
 
     # the relay's transfer bandwidth fluctuates heavily between runs;
     # measure per 4-volume chunk and report the median chunk throughput
@@ -117,12 +180,11 @@ def bench_tpu() -> float:
         t0 = time.time()
         inflight = []
         for i in range(chunk):
-            dev = jnp.asarray(vols[(ci * chunk + i) % len(vols)])
-            inflight.append(infer(variables, dev))
+            inflight.append(submit(ci * chunk + i))
             if len(inflight) > 2:
-                np.asarray(inflight.pop(0))
+                collect(inflight.pop(0))
         for r in inflight:
-            np.asarray(r)
+            collect(r)
         dt = time.time() - t0
         rates.append(chunk / dt * 60.0)
         log(f"chunk {ci}: {dt:.2f}s -> {rates[-1]:.2f} volumes/min")

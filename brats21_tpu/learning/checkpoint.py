@@ -29,15 +29,22 @@ BEST_NAME = "best_model"
 LAST_NAME = "last_model"
 
 
-def _make_checkpointer() -> ocp.Checkpointer:
+def _make_checkpointer(local: bool = False) -> ocp.Checkpointer:
     """On a multi-host runtime, checkpoints are written by the primary only
     (cli/main_train.py), so orbax's cross-process barriers must be scoped to
     process 0 — otherwise a primary-only save deadlocks in an allgather
-    waiting for processes that never call save."""
+    waiting for processes that never call save.
+
+    ``local=True`` scopes to the CURRENT process instead: used for restores,
+    where every process independently reads the shared checkpoint (striped
+    evaluation). The per-process barrier prefix keeps the coordination
+    service's barrier names disjoint when processes restore concurrently."""
     import jax
     if jax.process_count() > 1:
-        mp = ocp.options.MultiprocessingOptions(primary_host=0,
-                                                active_processes={0})
+        pid = jax.process_index() if local else 0
+        mp = ocp.options.MultiprocessingOptions(
+            primary_host=pid, active_processes={pid},
+            barrier_sync_key_prefix=f"proc{pid}" if local else None)
         return ocp.Checkpointer(
             ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
             multiprocessing_options=mp)
@@ -112,8 +119,11 @@ class CheckpointManager:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a checkpoint directory (best_model/last_model) for inference."""
-    return _make_checkpointer().restore(path)
+    """Load a checkpoint directory (best_model/last_model) for inference.
+    Process-local on multi-host runs: every process restores its own copy
+    of the shared checkpoint (striped evaluation needs the weights
+    everywhere, and restores are read-only)."""
+    return _make_checkpointer(local=True).restore(path)
 
 
 def resume_state(state: Any, ckpt: Dict[str, Any]) -> Tuple[Any, int]:

@@ -37,6 +37,9 @@ NPROC_ENV = "BRATS21_NUM_PROCESSES"
 PID_ENV = "BRATS21_PROCESS_ID"
 
 
+_initialized: Optional[bool] = None
+
+
 def maybe_initialize_distributed() -> bool:
     """Initialize ``jax.distributed`` when the env asks for it.
 
@@ -44,16 +47,22 @@ def maybe_initialize_distributed() -> bool:
       BRATS21_COORDINATOR=host:port  BRATS21_NUM_PROCESSES=N
       BRATS21_PROCESS_ID=i
     Returns True when running multi-process. Must be called before any
-    other jax API touches the backend."""
+    other jax API touches the backend. Idempotent — both CLI modules call
+    it at import time and main_inference imports main_train."""
+    global _initialized
+    if _initialized is not None:
+        return _initialized
     coord = os.environ.get(COORD_ENV)
     if not coord:
+        _initialized = False
         return False
     import jax
     num = int(os.environ[NPROC_ENV])
     pid = int(os.environ[PID_ENV])
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=num, process_id=pid)
-    return num > 1
+    _initialized = num > 1
+    return _initialized
 
 
 def is_primary() -> bool:

@@ -28,6 +28,7 @@ from brats21_tpu.models import get_model
 REPS = int(os.environ.get("REPS", "10"))
 MODES = os.environ.get("MODES", "norm,block,none").split(",")
 PATCH = int(os.environ.get("PATCH", "128"))
+WIDTH = int(os.environ.get("WIDTH", "48"))
 
 
 def timeit(fn, *args, label=""):
@@ -45,7 +46,7 @@ def timeit(fn, *args, label=""):
 
 
 def main():
-    print(f"devices={jax.devices()} patch={PATCH}", flush=True)
+    print(f"devices={jax.devices()} patch={PATCH} width={WIDTH}", flush=True)
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (1, PATCH, PATCH, PATCH, 4), jnp.float32)
     seg = (jax.random.uniform(rng, (1, PATCH, PATCH, PATCH, 3)) > 0.7
@@ -53,7 +54,7 @@ def main():
 
     for mode in MODES:
         print(f"== remat_mode={mode}", flush=True)
-        cfg = TrainConfig(model="equiunet_assp_evo", width=48,
+        cfg = TrainConfig(model="equiunet_assp_evo", width=WIDTH,
                           criterion="dice", optimizer="ranger", use_gc=True,
                           remat_mode=mode)
         model = get_model(cfg)

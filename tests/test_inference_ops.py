@@ -246,3 +246,26 @@ def test_tta_compose_inverse(rng):
     for tr in compose:
         back = tr.deaugment_mask(tr.augment_image(x))
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_sparse_wire_roundtrip_exact(rng):
+    """ops/wire: packed brain-mask volume reconstructs bit-exactly on
+    device; 2-bit BraTS label packing round-trips."""
+    import jax.numpy as jnp
+    from brats21_tpu.ops import wire
+
+    vol = (rng.integers(-500, 3000, size=(20, 24, 16, 4))
+           .astype(np.int16))
+    vol[rng.random(vol.shape[:3]) > 0.55] = 0   # background zeros
+    bits, vals = wire.pack_volume(vol, cap_step=1024)
+    assert vals.shape[0] <= vol.size // 4
+    got = np.asarray(wire.unpack_volume_device(
+        jnp.asarray(bits), jnp.asarray(vals), vol.shape[:3]))[0]
+    np.testing.assert_array_equal(got, vol)
+
+    labels = rng.choice(np.array([0, 1, 2, 4], np.uint8),
+                        size=(20, 24, 16))
+    packed = np.asarray(wire.pack_labels_device(jnp.asarray(labels)))
+    assert packed.nbytes * 4 == labels.size
+    np.testing.assert_array_equal(
+        wire.unpack_labels(packed, labels.shape), labels)
