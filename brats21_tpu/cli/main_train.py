@@ -100,8 +100,10 @@ def main(argv=None) -> None:
     mesh = local_mesh()
     eval_mesh = None
     if distributed:
-        # validation runs on the primary's local devices; other processes
-        # skip it and wait at the next train-step collective
+        # validation is case-striped: EVERY process scores its own stripe
+        # of the val cases on its process-LOCAL mesh (no collectives in
+        # the eval loop), then meters merge globally (merge_meters is a
+        # collective every process must join — do NOT gate eval on primary)
         from ..parallel.mesh import make_mesh
         eval_mesh = make_mesh(jax.local_devices(),
                               data=len(jax.local_devices()), space=1)

@@ -317,6 +317,29 @@ class Engine:
         self._eval_cache[key] = fn
         return fn
 
+    def _case_parallel_supported(self, members: List[Any],
+                                 shape: Tuple[int, ...]) -> bool:
+        """The batched fast path vmaps per-case losses over the output
+        tree, which requires EVERY output leaf to carry the batch axis.
+        Models with non-batched aux outputs (SegResNetVAE's
+        {'vae_loss': scalar}, models/extra.py) must take the serial path
+        — checked abstractly (eval_shape, no compile)."""
+        dtype = jnp.float32 if self.cfg.no_amp else jnp.bfloat16
+        x = jax.ShapeDtypeStruct((2, *shape), dtype)
+        for member in members:
+            model, variables = member if isinstance(member, tuple) \
+                else (self.model, member)
+            try:
+                out = jax.eval_shape(
+                    lambda v, i, m=model: m.apply(v, i, deterministic=True),
+                    variables, x)
+            except Exception:  # noqa: BLE001 — any trace failure → serial
+                return False
+            for leaf in jax.tree_util.tree_leaves(out):
+                if getattr(leaf, "ndim", 0) == 0 or leaf.shape[0] != 2:
+                    return False
+        return True
+
     def _get_member_striped_fn(self, model, shape: Tuple[int, ...],
                                with_target: bool) -> Callable:
         """STAPLE ensembles: all members' forwards in ONE jit, the member
@@ -400,11 +423,19 @@ class Engine:
             return jax.vmap(lambda p: post_process(p[None], **kw)[0])(probs)
         return post_process(probs, **kw)
 
-    def _pad_case(self, img: np.ndarray, use_tta: bool, bucket: int
+    def _pad_case(self, img: np.ndarray, use_tta: bool, bucket: int,
+                  z_multiple: int = 1
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host-side pad of [X,Y,Z,C] to the eval bucket (ceil-before /
         floor-after, transforms.py:483-512); TTA additionally requires
-        X == Y (see ops/tta.py), padded at the end."""
+        X == Y (see ops/tta.py), padded at the end.
+
+        ``z_multiple``: on a spatial mesh Z is additionally padded to a
+        multiple of the 'space' axis HERE, on the host — so the pad enters
+        the model's global reductions (EvoNorm group-std, SE pool) exactly
+        like the reference's own ÷8 zero-pad does (engine.py:217), and the
+        sharded forward sees the identical volume as the serial path
+        (no extra GSPMD-side pad → exact parity)."""
         padded, p_b, p_a = T.shape_to_divisible(img, k=bucket)
         if use_tta and padded.shape[0] != padded.shape[1]:
             side = max(padded.shape[0], padded.shape[1])
@@ -412,6 +443,10 @@ class Engine:
                      (0, 0), (0, 0)]
             padded = np.pad(padded, extra)
             p_a = p_a + np.array([extra[0][1], extra[1][1], 0])
+        pad_z = (-padded.shape[2]) % z_multiple
+        if pad_z:
+            padded = np.pad(padded, [(0, 0), (0, 0), (0, pad_z), (0, 0)])
+            p_a = p_a + np.array([0, 0, pad_z])
         return padded, p_b, p_a
 
     @staticmethod
@@ -459,10 +494,14 @@ class Engine:
         # the 'data' axis instead (VERDICT round-1 #6; the reference is
         # strictly case-serial, engine.py:163-296)
         n_space = self.eval_mesh.shape.get("space", 1)
-        case_parallel = ((n_dev > 1 or n_space > 1)
-                         and not use_tta and not sliding
-                         and not perform_staple
-                         and not os.environ.get("BRATS21_EVAL_SERIAL"))
+        # None = eligible, resolved on the first case's shape (output trees
+        # with non-batched leaves can't vmap per-case losses)
+        case_parallel: Optional[bool] = (
+            None if ((n_dev > 1 or n_space > 1)
+                     and not use_tta and not sliding
+                     and not perform_staple
+                     and not os.environ.get("BRATS21_EVAL_SERIAL"))
+            else False)
         # STAPLE member striping: a homogeneous ensemble's members forward
         # together, the member stack sharded over 'data' (serial fallback
         # for heterogeneous ensembles or via BRATS21_STAPLE_SERIAL)
@@ -559,8 +598,14 @@ class Engine:
             img_np = batch["img"][0]                      # [X,Y,Z,4]
             target_np = batch.get("seg")
 
-            padded, p_b, p_a = self._pad_case(img_np, use_tta, bucket)
+            padded, p_b, p_a = self._pad_case(img_np, use_tta, bucket,
+                                              z_multiple=n_space)
             with_target = target_np is not None
+            if case_parallel is None:
+                # decided once, on the first case's shape: models whose
+                # output trees have non-batched leaves fall back to serial
+                case_parallel = self._case_parallel_supported(
+                    members, padded.shape)
             tgt_padded = (self._pad_with(target_np[0], p_b, p_a)
                           if with_target else None)
             dm = None

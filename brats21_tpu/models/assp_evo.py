@@ -55,14 +55,17 @@ import functools as _functools
 
 @_functools.lru_cache()
 def _pallas_evonorm_default() -> bool:
-    """Opt-in (BRATS21_PALLAS_EVONORM=1). Measured on v5e (docs/BENCHMARKS
-    round 2): the standalone kernel LOSES to XLA — 632 ms vs 302 ms
-    full-volume forward — because XLA fuses the EvoNorm elementwise chain
-    into its neighbours while the kernel forces a materialization boundary.
-    Kept wired + parity-tested for the future fused conv+EvoNorm epilogue."""
+    """Opt-in (BRATS21_PALLAS_EVONORM=1, AND a Pallas-capable backend —
+    ops.pallas.enabled — so the flag is inert on plain-CPU runs).
+    Measured on v5e (docs/BENCHMARKS round 2): the standalone kernel LOSES
+    to XLA — 632 ms vs 302 ms full-volume forward — because XLA fuses the
+    EvoNorm elementwise chain into its neighbours while the kernel forces
+    a materialization boundary. Kept wired + parity-tested."""
     import os
-    return os.environ.get("BRATS21_PALLAS_EVONORM", "0") not in (
-        "0", "false", "False")
+
+    from ..ops.pallas import enabled
+    return (os.environ.get("BRATS21_PALLAS_EVONORM", "0") not in (
+        "0", "false", "False")) and enabled()
 
 
 class EvoNorm3D(nn.Module):

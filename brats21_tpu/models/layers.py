@@ -218,11 +218,15 @@ def get_norm_layer(norm_type: Optional[str]) -> Optional[Callable[..., nn.Module
 @lru_cache()
 def _pallas_conv_default() -> bool:
     """Route eligible 3³ convs through the Pallas im2col GEMM
-    (ops/pallas/conv3d_kernel.py) when BRATS21_PALLAS_CONV=1. Off by
-    default until enabled per-platform from measured wins."""
+    (ops/pallas/conv3d_kernel.py) when BRATS21_PALLAS_CONV=1 AND the
+    backend can run Pallas (TPU, or interpret mode — ops.pallas.enabled);
+    a raw env flag on a CPU run would crash in lowering. Off by default
+    until a measured win (docs/BENCHMARKS.md: Mosaic currently cannot
+    express the C=48 im2col)."""
     import os
-    return os.environ.get("BRATS21_PALLAS_CONV", "0") not in (
-        "0", "false", "False")
+    from ..ops.pallas import enabled
+    return (os.environ.get("BRATS21_PALLAS_CONV", "0") not in (
+        "0", "false", "False")) and enabled()
 
 
 class _Conv3dCore(nn.Module):

@@ -211,7 +211,12 @@ def spatial_sharded_forward(mesh: Mesh, apply_fn: Callable[[Any, Array], Any],
 
     Returns the replicated main-head logits (or, with ``full_outputs``, the
     whole output tree incl. deep-supervision heads, for loss parity). Exact
-    vs the unsharded forward (tests/test_parallel.py)."""
+    vs the unsharded forward when Z divides the axis
+    (tests/test_parallel.py); otherwise Z is zero-padded BEFORE the forward
+    and the pad enters the model's global reductions (EvoNorm group-std,
+    SE pool) — same semantics as the host-side ÷8 pad, but callers wanting
+    bit-parity with an unpadded serial forward should pad Z themselves
+    (Engine._pad_case does, via z_multiple)."""
     from ..ops.tta import main_head
 
     n = mesh.shape[axis]
@@ -224,19 +229,32 @@ def spatial_sharded_forward(mesh: Mesh, apply_fn: Callable[[Any, Array], Any],
     vs = jax.device_put(variables, NamedSharding(mesh, P()))
     repl = NamedSharding(mesh, P())
 
-    @jax.jit
-    def fn(v, inp):
-        out = apply_fn(v, inp)
-        if not full_outputs:
-            out = main_head(out)
-        # replicate the outputs so downstream host/post code sees one array
-        return jax.tree_util.tree_map(
-            lambda o: jax.lax.with_sharding_constraint(o, repl), out)
+    # one jitted executable per (apply_fn, mesh, axis, full_outputs) — a
+    # fresh jit per call would retrace the full-volume graph per CASE
+    # (2-8 min each through the axon remote-compile service)
+    key = (id(apply_fn), mesh, axis, full_outputs)
+    hit = _SPATIAL_FN_CACHE.get(key)
+    if hit is not None:
+        fn = hit[0]
+    else:
+        @jax.jit
+        def fn(v, inp):
+            out = apply_fn(v, inp)
+            if not full_outputs:
+                out = main_head(out)
+            # replicate the outputs so downstream host/post code sees one
+            return jax.tree_util.tree_map(
+                lambda o: jax.lax.with_sharding_constraint(o, repl), out)
+        # pin apply_fn so its id can't be recycled while the entry lives
+        _SPATIAL_FN_CACHE[key] = (fn, apply_fn)
 
     out = fn(vs, xs)
     if pad:
         out = jax.tree_util.tree_map(lambda o: o[:, :, :, :s2], out)
     return out
+
+
+_SPATIAL_FN_CACHE: dict = {}
 
 
 # ---------------------------------------------------------------------------

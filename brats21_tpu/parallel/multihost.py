@@ -78,15 +78,26 @@ def process_count() -> int:
 def process_shard(records: Sequence[Any],
                   index: Optional[int] = None,
                   count: Optional[int] = None) -> List[Any]:
-    """This process's stripe of a record list, trimmed so every process
-    gets the same length (lock-step epochs need equal step counts)."""
+    """This process's stripe of a record list, PADDED (by wrapping around
+    the full list) so every process gets the same ceil(len/count) length —
+    lock-step epochs need equal step counts, and trimming instead would
+    permanently exclude up to count-1 records from training (a fixed
+    stripe never reshuffles across processes). Same policy as torch's
+    DistributedSampler: ≤ count-1 records are duplicated per epoch, none
+    are dropped."""
     import jax
     index = jax.process_index() if index is None else index
     count = jax.process_count() if count is None else count
     if count <= 1:
         return list(records)
-    per = len(records) // count
-    return list(records[index::count])[:per]
+    records = list(records)
+    per = -(-len(records) // count)
+    stripe = records[index::count]
+    k = index
+    while len(stripe) < per:
+        stripe.append(records[k % len(records)])
+        k += count + 1  # decorrelate the wrap picks across processes
+    return stripe
 
 
 def shard_eval_records(records: Sequence[Any],
@@ -269,12 +280,22 @@ def _dryrun_worker(pid: int, nproc: int, port: int, ndev: int,
     print(f"[proc {pid}] losses={losses} checksum={checksum:.6e}", flush=True)
 
 
+def free_port() -> int:
+    """An OS-assigned free TCP port (bind-to-0) — fixed coordinator ports
+    collide across concurrent runs (parallel CI, dryrun next to tests)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def run_multiprocess_dryrun(nproc: int = 2, ndev: int = 4,
-                            port: int = 9733) -> None:
+                            port: Optional[int] = None) -> None:
     """Spawn ``nproc`` worker processes (each with ``ndev`` virtual CPU
     devices), train lock-step over the spanning mesh, and assert all
     processes hold bit-identical parameters."""
     import tempfile
+    port = free_port() if port is None else port
     out_dir = tempfile.mkdtemp(prefix="brats21_mh_")
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))

@@ -79,11 +79,32 @@ class EvaluationReport:
 
     def __init__(self, labels: Sequence[str] = LABELS,
                  autosave_dir: Optional[str] = None,
-                 name: str = "Evaluation"):
+                 name: str = "Evaluation",
+                 autosave_xlsx_every: int = 25):
         self.labels = list(labels)
         self.rows: Dict[str, Dict[str, float]] = {}
         self.autosave_dir = autosave_dir
         self.name = name
+        # per-case crash safety at O(n): the CSV is APPENDED one row per
+        # case (reference appends per case too, files.py:269-333); the
+        # xlsx + stats sheet (a full rebuild) refreshes every N cases and
+        # at the final save() — rebuilding both per case would be O(n²)
+        self.autosave_xlsx_every = max(int(autosave_xlsx_every), 1)
+        self._csv_cols: Optional[list] = None
+
+    def _csv_append(self, patient_id: str, row: Dict[str, float]) -> None:
+        """Append one case to the autosave CSV; the header is fixed by the
+        first case's columns (all cases share one metric set) — a column
+        drift falls back to a full rewrite at the next xlsx refresh."""
+        csv_path = os.path.join(self.autosave_dir, f"{self.name}.csv")
+        if self._csv_cols is None or not os.path.exists(csv_path):
+            self._csv_cols = list(row)
+            with open(csv_path, "w") as f:
+                f.write(",".join(["patient_id"] + self._csv_cols) + "\n")
+        with open(csv_path, "a") as f:
+            f.write(",".join([patient_id] + [
+                "" if row.get(c) is None else str(row.get(c))
+                for c in self._csv_cols]) + "\n")
 
     def add(self, patient_id: str, metrics: Mapping[str, np.ndarray]) -> None:
         row = self.rows.setdefault(patient_id, {})
@@ -93,7 +114,10 @@ class EvaluationReport:
                 row[f"{name}_{lbl}"] = float(flat[i])
             row[f"{name}_mean"] = float(np.nanmean(flat))
         if self.autosave_dir is not None:
-            self.save(self.autosave_dir, self.name)
+            self._csv_append(patient_id, row)
+            if (len(self.rows) == 1
+                    or len(self.rows) % self.autosave_xlsx_every == 0):
+                self.save(self.autosave_dir, self.name)
 
     def _columns(self) -> list:
         cols: list = []
@@ -145,4 +169,7 @@ class EvaluationReport:
             for r in rows:
                 f.write(",".join("" if v is None else str(v) for v in r) + "\n")
         os.replace(csv_path + ".tmp", csv_path)
+        if save_dir == self.autosave_dir and name == self.name:
+            # the rewrite is the new append base — keep column order in sync
+            self._csv_cols = cols
         return path

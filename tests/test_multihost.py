@@ -9,6 +9,8 @@ import sys
 
 import pytest
 
+from brats21_tpu.parallel.multihost import free_port
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -27,7 +29,7 @@ def test_multiprocess_train_step_lockstep():
     proc = subprocess.run(
         [sys.executable, "-c",
          "from brats21_tpu.parallel.multihost import run_multiprocess_dryrun;"
-         "run_multiprocess_dryrun(2, 4, port=9741)"],
+         "run_multiprocess_dryrun(2, 4)"],
         env=_clean_env({}), capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "params identical" in proc.stdout
@@ -76,11 +78,12 @@ def test_multiprocess_gather_and_merge():
     """2 procs: gather_objects ordering, exact meter merging (vector sums,
     count-0 keys unioned), report-row union — the primitives behind
     multi-host case-striped evaluation."""
+    port = free_port()
     procs = []
     for pid in range(2):
         env = _clean_env({
             "JAX_PLATFORMS": "cpu",
-            "BRATS21_COORDINATOR": "127.0.0.1:9767",
+            "BRATS21_COORDINATOR": f"127.0.0.1:{port}",
             "BRATS21_NUM_PROCESSES": "2",
             "BRATS21_PROCESS_ID": str(pid),
         })
@@ -107,12 +110,13 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
             "--patch_size", "32", "32", "32", "--batch_size", "4",
             "--num_workers", "1", "--fold", "0", "--no_tensorboard",
             "--no_full_name", "--evaluate_end_training"]
+    port = free_port()
     procs = []
     for pid in range(2):
         env = _clean_env({
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "BRATS21_COORDINATOR": "127.0.0.1:9763",
+            "BRATS21_COORDINATOR": f"127.0.0.1:{port}",
             "BRATS21_NUM_PROCESSES": "2",
             "BRATS21_PROCESS_ID": str(pid),
         })
@@ -153,12 +157,13 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
                 "--config", os.path.join(save, "config.yaml"),
                 "--on", "val", "--output", out,
                 "--num_workers", "1"]
+    port = free_port()
     procs = []
     for pid in range(2):
         env = _clean_env({
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "BRATS21_COORDINATOR": "127.0.0.1:9771",
+            "BRATS21_COORDINATOR": f"127.0.0.1:{port}",
             "BRATS21_NUM_PROCESSES": "2",
             "BRATS21_PROCESS_ID": str(pid),
         })

@@ -417,3 +417,39 @@ def test_engine_staple_member_striped_matches_serial(mesh, rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(m_par[k].avg),
                                    np.asarray(m_ser[k].avg), atol=1e-6,
                                    err_msg=k)
+
+
+def test_engine_case_parallel_falls_back_for_aux_outputs(mesh, rng):
+    """SegResNetVAE returns (seg, {'vae_loss': scalar}) — a non-batched
+    aux leaf the case-parallel vmap cannot map. evaluate() must detect it
+    (eval_shape capability check) and fall back to the serial path
+    instead of crashing (code-review round-2 finding #1)."""
+    from brats21_tpu.config import TrainConfig
+    from brats21_tpu.learning.engine import Engine
+    from brats21_tpu.learning.losses import make_criterion
+    from brats21_tpu.models import get_model
+
+    cfg = TrainConfig(model="segresnetvae", width=8, criterion="dice",
+                      no_amp=True)
+    model = get_model(cfg)
+    img = rng.random((1, 16, 16, 16, 4)).astype(np.float32)
+    seg = (rng.random((1, 16, 16, 16, 3)) > 0.6).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    batches = [{
+        "img": img, "seg": seg, "patient_id": [f"v{i}"],
+        "foreground_start_coord": np.array([[0, 0, 0]]),
+        "foreground_end_coord": np.array([[16, 16, 16]]),
+        "original_shape": np.array([[16, 16, 16]]),
+        "affine": np.eye(4)[None],
+    } for i in range(2)]
+
+    class _Loader:
+        def __len__(self):
+            return len(batches)
+
+        def __iter__(self):
+            return iter(batches)
+
+    engine = Engine(cfg, model, make_criterion(cfg), mesh=mesh)
+    meters = engine.evaluate([{"params": variables["params"]}], _Loader(), 0)
+    assert np.isfinite(meters["loss"].avg)
