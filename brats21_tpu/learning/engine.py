@@ -414,6 +414,27 @@ class Engine:
             lambda x: jax.device_put(x, sharding), stacked)
         return ms[0][0], stacked, n_real
 
+    def _put_case(self, padded: np.ndarray) -> Array:
+        """One case to HBM for the serial eval path, fp16 over the wire.
+
+        With BRATS21_SPARSE_WIRE=1 the transfer is the brain-masked sparse
+        format (ops/wire.py): a packbits mask + the nonzero fp16 voxels —
+        ~2× fewer wire bytes on a bbox-cropped BraTS case (~50% background)
+        — reconstructed EXACTLY on device, so every downstream eval fn is
+        untouched. For transfer-starved host links (remote relays,
+        networked mounts); the dense path is the default."""
+        if os.environ.get("BRATS21_SPARSE_WIRE", "0") in ("0", "false",
+                                                          "False"):
+            return jnp.asarray(padded.astype(np.float16))[None]
+        from ..ops import wire
+        bits, vals = wire.pack_volume(padded.astype(np.float16))
+        fn = self._eval_cache.get("_sparse_unpack")
+        if fn is None:
+            fn = jax.jit(wire.unpack_volume_device,
+                         static_argnames=("spatial",))
+            self._eval_cache["_sparse_unpack"] = fn
+        return fn(jnp.asarray(bits), jnp.asarray(vals), padded.shape[:3])
+
     def _post_batched(self, probs: Array, post_kwargs: Dict[str, Any]) -> Array:
         """post_process over a stack of cases. The CC-labeling / replace
         transforms operate on one volume (postprocess.py:252-268), so they
@@ -629,7 +650,7 @@ class Engine:
             # fp16 over the wire (z-scored values fit comfortably); the
             # eval fn casts to bf16/fp32 on device. Background masking
             # relies on exact zeros, which fp16 preserves.
-            img_dev = jnp.asarray(padded.astype(np.float16))[None]
+            img_dev = self._put_case(padded)
             target_dev = None
             if with_target:
                 target_dev = jnp.asarray(tgt_padded)[None]

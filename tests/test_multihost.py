@@ -194,3 +194,23 @@ def synthetic_case_12(tmp_path_factory):
     generate_synthetic_dataset(str(root), num_cases=12, shape=(48, 48, 32),
                                seed=1)
     return str(root)
+
+
+def test_process_shard_pads_instead_of_trims():
+    """Every record appears in some process's stripe (nothing is silently
+    dropped — code-review round-2 finding #3), stripes are equal-length
+    ceil(n/count), and eval striping stays untrimmed-exact."""
+    from brats21_tpu.parallel.multihost import (process_shard,
+                                                shard_eval_records)
+    records = [f"r{i}" for i in range(11)]
+    stripes = [process_shard(records, index=i, count=4) for i in range(4)]
+    assert all(len(s) == 3 for s in stripes)          # ceil(11/4)
+    union = set().union(*stripes)
+    assert union == set(records)                      # nothing dropped
+    # eval stripes: exact partition, no duplicates, unequal lengths OK
+    estripes = [shard_eval_records(records, index=i, count=4)
+                for i in range(4)]
+    flat = [r for s in estripes for r in s]
+    assert sorted(flat) == sorted(records)
+    # single process: identity
+    assert process_shard(records, index=0, count=1) == records

@@ -453,3 +453,54 @@ def test_engine_case_parallel_falls_back_for_aux_outputs(mesh, rng):
     engine = Engine(cfg, model, make_criterion(cfg), mesh=mesh)
     meters = engine.evaluate([{"params": variables["params"]}], _Loader(), 0)
     assert np.isfinite(meters["loss"].avg)
+
+
+def test_engine_sparse_wire_eval_matches_dense(rng, monkeypatch):
+    """BRATS21_SPARSE_WIRE=1 (brain-masked packed H2D, ops/wire.py) is
+    output-identical to the dense fp16 wire on the serial eval path."""
+    from brats21_tpu.config import TrainConfig
+    from brats21_tpu.learning.engine import Engine
+    from brats21_tpu.learning.losses import make_criterion
+
+    cfg = TrainConfig(model="equiunet", width=4, criterion="dice",
+                      no_amp=True)
+    model = get_model(cfg)
+    img = rng.random((1, 16, 16, 8, 4)).astype(np.float32)
+    img[:, :3] = 0.0                      # background region
+    seg = (rng.random((1, 16, 16, 8, 3)) > 0.6).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    batch = {
+        "img": img, "seg": seg, "patient_id": ["w0"],
+        "foreground_start_coord": np.array([[0, 0, 0]]),
+        "foreground_end_coord": np.array([[16, 16, 8]]),
+        "original_shape": np.array([[16, 16, 8]]),
+        "affine": np.eye(4)[None],
+    }
+
+    class _Loader:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            return iter([batch])
+
+    single = make_mesh(jax.devices()[:1], data=1, space=1)
+
+    def run(sparse):
+        if sparse:
+            monkeypatch.setenv("BRATS21_SPARSE_WIRE", "1")
+        else:
+            monkeypatch.delenv("BRATS21_SPARSE_WIRE", raising=False)
+        engine = Engine(cfg, model, make_criterion(cfg), mesh=single)
+        return engine.evaluate([{"params": variables["params"]}],
+                               _Loader(), 0)
+
+    m_dense = run(False)
+    m_sparse = run(True)
+    np.testing.assert_allclose(m_sparse["loss"].avg, m_dense["loss"].avg,
+                               rtol=0, atol=0)
+    for k in m_dense:
+        if k in ("loss", "batch_time"):
+            continue
+        np.testing.assert_array_equal(np.asarray(m_sparse[k].avg),
+                                      np.asarray(m_dense[k].avg))
