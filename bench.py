@@ -136,6 +136,18 @@ def bench_tpu() -> float:
             for i in range(max(N_VOLUMES, 2))]
 
     sparse = os.environ.get("BENCH_WIRE", "sparse") != "dense"
+    # the dense-vs-sparse parity assert costs a SECOND full-volume compile
+    # (2-8 min through the axon remote-compile service); once verified on
+    # this host, a marker file skips it (BENCH_VERIFY=1 forces it)
+    verify_marker = os.path.join(REPO, ".bench_sparse_verified.json")
+    marker_ok = False
+    if os.path.exists(verify_marker):
+        try:
+            with open(verify_marker) as f:
+                marker_ok = json.load(f).get("shape") == list(shape)
+        except Exception:  # noqa: BLE001
+            marker_ok = False
+    want_verify = os.environ.get("BENCH_VERIFY") == "1" or not marker_ok
     if sparse:
         try:
             t0 = time.time()
@@ -145,9 +157,15 @@ def bench_tpu() -> float:
             log(f"sparse compile+first run: {time.time() - t0:.1f}s "
                 f"(wire {bits0.nbytes / 1e6:.1f}+{vals0.nbytes / 1e6:.1f} MB"
                 f" vs dense {vols[0].nbytes / 1e6:.1f} MB)")
-            want = np.asarray(infer_dense(variables, jnp.asarray(vols[0])))
-            np.testing.assert_array_equal(got, want)
-            log("sparse/dense label parity OK")
+            if want_verify:
+                want = np.asarray(infer_dense(variables,
+                                              jnp.asarray(vols[0])))
+                np.testing.assert_array_equal(got, want)
+                log("sparse/dense label parity OK")
+                with open(verify_marker, "w") as f:
+                    json.dump({"verified": True, "shape": list(shape)}, f)
+            else:
+                log("sparse/dense parity previously verified (marker)")
         except Exception as e:  # noqa: BLE001 — bench must survive
             log(f"sparse wire failed ({e}); falling back to dense")
             sparse = False
