@@ -157,6 +157,14 @@ def build_inference_parser() -> argparse.ArgumentParser:
     g.add_argument("--docker_test", action="store_true", default=False)
     g.add_argument("--num_workers", type=int, default=0)
     g.add_argument("-v", "--verbosity", action="count", default=0)
+    g.add_argument("--watch", action="store_true", default=False,
+                   help="serve mode (on=test): after the initial pass, keep "
+                        "polling test_data_path and segment new cases as "
+                        "they appear (model stays compiled+warm)")
+    g.add_argument("--watch_interval", type=float, default=5.0,
+                   help="poll period in seconds for --watch")
+    g.add_argument("--watch_stop_file", type=str, default=None,
+                   help="exit the --watch loop when this file appears")
 
     g = parser.add_argument_group("processing", "Processing configuration")
     g.add_argument("--sliding_window_inference", action="store_true",

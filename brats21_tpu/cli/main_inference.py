@@ -112,6 +112,44 @@ def main(argv=None) -> None:
     if cfg0.on in ("val", "train") and primary:
         report.name = base_name
         report.save(cfg0.save_path)
+
+    if getattr(cfg0, "watch", False) and cfg0.on == "test":
+        # serve mode: the jitted executables stay warm in engine._eval_cache;
+        # each new complete case pays only preprocess + transfer + forward.
+        # Cases must land atomically (write elsewhere, rename in) — the
+        # discovery only accepts directories with all four modalities.
+        # The reference's closest analog is the one-shot Docker batch
+        # entrypoint (Dockerfile / README.md:134-170); this is its
+        # persistent TPU-serving extension.
+        from ..data.pipeline import discover_test_records, make_records_loader
+        seen = {r["patient_id"] for r in discover_test_records(cfg0)}
+        logger.info("watch mode: serving %s every %.1fs (%d case(s) done)",
+                    cfg0.test_data_path, cfg0.watch_interval, len(seen))
+        stop_file = cfg0.watch_stop_file
+        try:
+            while not (stop_file and os.path.exists(stop_file)):
+                time.sleep(cfg0.watch_interval)
+                records = [r for r in discover_test_records(cfg0)
+                           if r["patient_id"] not in seen]
+                if not records:
+                    continue
+                loader = make_records_loader(records, cfg0)
+                t0 = time.time()
+                engine.evaluate(
+                    members, loader, 0, use_tta=bool(cfg0.tta),
+                    save_seg=True,
+                    output_path=os.path.join(
+                        cfg0.save_path, f"Inference_segmentations_{cfg0.on}"),
+                    perform_staple=bool(cfg0.perform_staple),
+                    staple_threshold=cfg0.staple_threshold,
+                    post_kwargs=post_kwargs_from_cfg(cfg0),
+                    step_mode=f"metric_{cfg0.on}")
+                seen.update(r["patient_id"] for r in records)
+                logger.info("watch: segmented %d new case(s) in %.2fs",
+                            len(records), time.time() - t0)
+        except KeyboardInterrupt:
+            logger.info("watch mode interrupted; exiting")
+
     logger.info("total time: %.1fs", time.time() - total_start)
 
 

@@ -329,14 +329,30 @@ def make_train_val_loaders(cfg: Any, train_in_val_mode: bool = False
     return train_loader, val_loader
 
 
-def make_test_loader(cfg: Any) -> Optional[EvalLoader]:
-    """definer.py:554-580: no seg, crop + plain z-score normalize."""
+def discover_test_records(cfg: Any) -> list:
+    """Complete (all-modality) test cases on disk right now — the
+    discovery half of make_test_loader, reusable by watch mode."""
     if getattr(cfg, "docker_test", False):
         db = create_database_test_docker(cfg.test_data_path,
                                          required_modality=MODALITIES)
     else:
         db = create_database(cfg.test_data_path, required_modality=MODALITIES)
-    records = make_file_records(db, with_seg=False)
+    return make_file_records(db, with_seg=False)
+
+
+def make_records_loader(records: Sequence[Any], cfg: Any
+                        ) -> Optional["EvalLoader"]:
+    """EvalLoader over explicit no-seg records (watch mode batches)."""
+    if not records:
+        return None
+    ds = BraTSDataset(list(records), with_seg=False, remove_outliers=False)
+    return EvalLoader(ds, num_workers=max(getattr(cfg, "num_workers", 2) // 2,
+                                          1))
+
+
+def make_test_loader(cfg: Any) -> Optional[EvalLoader]:
+    """definer.py:554-580: no seg, crop + plain z-score normalize."""
+    records = discover_test_records(cfg)
     if not records:
         return None
     from ..parallel.multihost import process_count, shard_eval_records

@@ -128,3 +128,56 @@ def test_training_is_deterministic(tmp_path, synthetic_case):
     for a, b in zip(jax.tree_util.tree_leaves(p0),
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_watch_mode_serves_new_cases(quick_run, tmp_path):
+    """--watch (serving mode): the CLI keeps the compiled model warm,
+    polls the input dir, and segments cases that arrive AFTER startup;
+    --watch_stop_file ends the loop cleanly."""
+    import shutil
+    import threading
+    import time
+
+    from brats21_tpu.data.synthetic import generate_synthetic_dataset
+
+    data = tmp_path / "watch_data"
+    data.mkdir()
+    staging = tmp_path / "staging"
+    generate_synthetic_dataset(str(staging), num_cases=2, shape=(16, 16, 16),
+                               seed=3)
+    cases = sorted(os.listdir(staging))
+    # case 1 present at startup
+    shutil.move(str(staging / cases[0]), str(data / cases[0]))
+
+    out = str(tmp_path / "watch_out")
+    stop = tmp_path / "stop_now"
+    argv = [
+        "--config", os.path.join(quick_run, "config.yaml"),
+        "--on", "test", "--input", str(data), "--output", out,
+        "--num_workers", "1",
+        "--watch", "--watch_interval", "0.3",
+        "--watch_stop_file", str(stop),
+    ]
+    t = threading.Thread(target=infer_main, args=(argv,), daemon=True)
+    t.start()
+
+    seg_dir = os.path.join(out, "Inference_segmentations_test")
+
+    def wait_for(n, timeout=300):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if len(glob.glob(os.path.join(seg_dir, "*.nii.gz"))) >= n:
+                return True
+            time.sleep(0.3)
+        return False
+
+    assert wait_for(1), "initial case never segmented"
+    # case 2 lands atomically (rename) while the server is running
+    shutil.move(str(staging / cases[1]), str(data / cases[1]))
+    assert wait_for(2), "watched case never segmented"
+    stop.touch()
+    t.join(timeout=120)
+    assert not t.is_alive(), "watch loop did not stop on the stop file"
+    segs = sorted(os.path.basename(s)
+                  for s in glob.glob(os.path.join(seg_dir, "*.nii.gz")))
+    assert segs == [f"{c}.nii.gz" for c in cases]
