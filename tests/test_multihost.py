@@ -25,12 +25,20 @@ def _clean_env(extra):
 
 def test_multiprocess_train_step_lockstep():
     """2 procs × 4 devices: sharded train steps over the spanning mesh end
-    with bit-identical parameters on every process."""
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         "from brats21_tpu.parallel.multihost import run_multiprocess_dryrun;"
-         "run_multiprocess_dryrun(2, 4)"],
-        env=_clean_env({}), capture_output=True, text=True, timeout=900)
+    with bit-identical parameters on every process.
+
+    One retry: under heavy host load the 30 s Gloo rendezvous deadline
+    (hardcoded in XLA's gloo collectives) can expire before the second
+    worker joins — an environment flake, not a code failure."""
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "from brats21_tpu.parallel.multihost import "
+             "run_multiprocess_dryrun; run_multiprocess_dryrun(2, 4)"],
+            env=_clean_env({}), capture_output=True, text=True, timeout=900)
+        if proc.returncode == 0 or \
+                "DEADLINE_EXCEEDED" not in proc.stdout + proc.stderr:
+            break
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "params identical" in proc.stdout
 
@@ -96,6 +104,37 @@ def test_multiprocess_gather_and_merge():
         assert "MERGE_OK" in o
 
 
+def _run_two_procs(argv, extra_env, timeout=1800, attempts=2):
+    """Spawn the same command as 2 coordinated processes; one retry when
+    the only failure signature is the load-flaky coordination-service
+    DEADLINE (see test_multiprocess_train_step_lockstep)."""
+    for attempt in range(attempts):
+        port = free_port()
+        procs = []
+        for pid in range(2):
+            env = _clean_env({
+                "BRATS21_COORDINATOR": f"127.0.0.1:{port}",
+                "BRATS21_NUM_PROCESSES": "2",
+                "BRATS21_PROCESS_ID": str(pid),
+                **extra_env,
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable] + argv, env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        ok = all(p.returncode == 0 for p in procs)
+        if ok or (attempt + 1 < attempts
+                  and any("DEADLINE_EXCEEDED" in o for o in outs)):
+            if ok:
+                return outs
+            continue
+        break
+    msg = "\n\n".join(
+        f"=== proc {pid} rc={p.returncode} ===\n{o[-3000:]}"
+        for pid, (p, o) in enumerate(zip(procs, outs)))
+    raise AssertionError(msg)
+
+
 @pytest.mark.slow
 def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
     """The full main_train CLI across 2 processes: per-process record
@@ -110,25 +149,10 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
             "--patch_size", "32", "32", "32", "--batch_size", "4",
             "--num_workers", "1", "--fold", "0", "--no_tensorboard",
             "--no_full_name", "--evaluate_end_training"]
-    port = free_port()
-    procs = []
-    for pid in range(2):
-        env = _clean_env({
-            "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "BRATS21_COORDINATOR": f"127.0.0.1:{port}",
-            "BRATS21_NUM_PROCESSES": "2",
-            "BRATS21_PROCESS_ID": str(pid),
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable] + argv, env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=1800)[0] for p in procs]
-    if any(p.returncode != 0 for p in procs):
-        msg = "\n\n".join(
-            f"=== proc {pid} rc={p.returncode} ===\n{o[-3000:]}"
-            for pid, (p, o) in enumerate(zip(procs, outs)))
-        raise AssertionError(msg)
+    outs = _run_two_procs(argv, {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+    })
     # both report the identical global loss (lock-step training)
     assert "process 0/2" in outs[0] and "process 1/2" in outs[1]
     # primary-only artifacts
@@ -157,25 +181,10 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
                 "--config", os.path.join(save, "config.yaml"),
                 "--on", "val", "--output", out,
                 "--num_workers", "1"]
-    port = free_port()
-    procs = []
-    for pid in range(2):
-        env = _clean_env({
-            "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "BRATS21_COORDINATOR": f"127.0.0.1:{port}",
-            "BRATS21_NUM_PROCESSES": "2",
-            "BRATS21_PROCESS_ID": str(pid),
-        })
-        procs.append(subprocess.Popen(
-            [sys.executable] + argv_inf, env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=1800)[0] for p in procs]
-    if any(p.returncode != 0 for p in procs):
-        msg = "\n\n".join(
-            f"=== inf proc {pid} rc={p.returncode} ===\n{o[-3000:]}"
-            for pid, (p, o) in enumerate(zip(procs, outs)))
-        raise AssertionError(msg)
+    _run_two_procs(argv_inf, {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+    })
     csvs = glob.glob(os.path.join(out, "Evaluation_inference_val*.csv"))
     merged = [c for c in csvs if ".proc" not in c]
     assert merged, csvs
