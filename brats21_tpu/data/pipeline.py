@@ -304,8 +304,18 @@ def make_train_val_loaders(cfg: Any, train_in_val_mode: bool = False
         # locally and the meters are merged globally (multihost.merge_meters).
         # In train_in_val_mode the train set IS the eval set, so it must be
         # striped untrimmed too (every case scored exactly once).
-        train_files = (shard_eval_records(train_files) if train_in_val_mode
-                       else process_shard(train_files))
+        if train_in_val_mode:
+            train_files = shard_eval_records(train_files)
+        else:
+            train_files = process_shard(train_files)
+            # lock-step steps need FULL batches everywhere: pad the stripe
+            # (by cycling it) to a batch_size multiple, else the final
+            # partial batch breaks global-batch divisibility on the mesh
+            bs = max(int(getattr(cfg, "batch_size", 1)), 1)
+            if train_files and len(train_files) % bs:
+                pad = bs - len(train_files) % bs
+                train_files = train_files + [
+                    train_files[i % len(train_files)] for i in range(pad)]
         val_files = shard_eval_records(val_files)
     needs_dm = "boundary" in cfg.criterion
     train_loader = None
