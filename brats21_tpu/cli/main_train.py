@@ -73,6 +73,25 @@ def main(argv=None) -> None:
     # jax.devices() spans all hosts when _DISTRIBUTED (data axis over DCN)
     from ..parallel.multihost import is_primary
     distributed = _DISTRIBUTED
+
+    # graceful preemption (TPU pods get preempted; the reference only has
+    # manual --resume): SIGTERM sets a flag → a resumable last_model is
+    # written and the process exits 0. Installed FIRST so a signal landing
+    # during the long startup compiles is caught (the flag is then honored
+    # at the first training batch). Single-process runs stop per-batch;
+    # multi-host runs reach epoch-end consensus (every process must agree
+    # on the stop step or the collectives deadlock).
+    import signal
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _request_stop)
+    except ValueError:  # not the main thread (in-process test harnesses)
+        pass
+
     cfg = get_train_args(argv)
     h_params = setup_save_path(cfg)
     primary = is_primary()
@@ -150,7 +169,22 @@ def main(argv=None) -> None:
             train_meters = None
             if not cfg.debug_val:
                 state, train_meters = engine.train_epoch(
-                    state, train_loader, epoch, rng)
+                    state, train_loader, epoch, rng,
+                    should_stop=(None if distributed
+                                 else lambda: stop_requested["flag"]))
+            if distributed:
+                # stop iff ANY process was signalled (collective consensus)
+                from ..parallel.multihost import gather_objects
+                stop_requested["flag"] = any(
+                    gather_objects(stop_requested["flag"]))
+            if stop_requested["flag"]:
+                if primary:
+                    # the interrupted epoch is NOT counted complete: resume
+                    # re-runs it (epoch - 1 recorded)
+                    ckpt.save_last(state, epoch - 1)
+                logger.info("preempted at epoch %d: last_model saved, "
+                            "exiting cleanly", epoch)
+                break
             epoch_time.update(time.time() - t0)
             t0 = time.time()
             progress.display(epoch)
@@ -192,7 +226,8 @@ def main(argv=None) -> None:
             if cfg.fold is None and train_meters is not None and primary:
                 ckpt.save(state, epoch, float(train_meters["loss"].avg))
 
-    if cfg.evaluate_end_training or cfg.only_evaluate:
+    if (cfg.evaluate_end_training or cfg.only_evaluate) \
+            and not stop_requested["flag"]:
         # reload best (or last for SWA) and evaluate ± TTA (main_train.py:197-243).
         # Multi-host: the final evaluation is case-striped too — every
         # process scores its stripe of valid_loader and the meters/report

@@ -113,6 +113,15 @@ class CheckpointManager:
             logger.info("epoch %d: new best %s=%.5f", epoch, self.save_on, value)
         return improved
 
+    def save_last(self, state: Any, epoch: int) -> None:
+        """Write ONLY last_model (no best-tracking update) — the graceful
+        preemption path (SIGTERM mid-training saves a resumable state
+        without letting a partial epoch's loss contaminate 'best')."""
+        value = (self.best_value if self.best_value is not None
+                 else (float("inf") if self.minimize else float("-inf")))
+        self._write(LAST_NAME, self._payload(state, epoch, value,
+                                             with_opt=True))
+
     def restore(self, name: str = LAST_NAME) -> Dict[str, Any]:
         path = os.path.join(self.save_dir, name)
         return self._ckptr.restore(path)

@@ -72,8 +72,14 @@ class Engine:
     # ------------------------------------------------------------------ train
 
     def train_epoch(self, state: TrainState, loader, epoch: int,
-                    rng: Array) -> Tuple[TrainState, Dict[str, AverageMeter]]:
-        """One epoch (engine.py:65-161): batch loop → jitted step → meters."""
+                    rng: Array, should_stop: Optional[Callable[[], bool]]
+                    = None) -> Tuple[TrainState, Dict[str, AverageMeter]]:
+        """One epoch (engine.py:65-161): batch loop → jitted step → meters.
+
+        ``should_stop``: polled per batch (graceful preemption) — when it
+        turns true the epoch ends early with the meters so far. Only safe
+        on single-process runs (multi-host stops at epoch consensus,
+        cli/main_train.py)."""
         cfg = self.cfg
         loader.set_epoch(epoch)
         batch_time = AverageMeter("time", ":6.3f")
@@ -89,6 +95,10 @@ class Engine:
                                  prefix=f"Epoch: [{epoch}]")
         t0 = time.time()
         for i, batch in enumerate(loader):
+            if should_stop is not None and should_stop():
+                logger.info("train_epoch: stop requested at step %d/%d",
+                            i, len(loader))
+                break
             img = self._put_batch(batch["img"])
             target: Any = self._put_batch(batch["seg"])
             if "boundary" in cfg.criterion:

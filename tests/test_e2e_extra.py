@@ -181,3 +181,61 @@ def test_watch_mode_serves_new_cases(quick_run, tmp_path):
     segs = sorted(os.path.basename(s)
                   for s in glob.glob(os.path.join(seg_dir, "*.nii.gz")))
     assert segs == [f"{c}.nii.gz" for c in cases]
+
+
+def test_sigterm_graceful_checkpoint(tmp_path, synthetic_case):
+    """Preemption contract: SIGTERM mid-training writes a resumable
+    last_model and exits 0 (the reference only has manual --resume)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    save = str(tmp_path / "runs_preempt")
+    argv = [sys.executable, "-m", "brats21_tpu.cli.main_train",
+            "--train_data_path", synthetic_case, "--save_path", save,
+            "--model", "equiunet", "--width", "4", "--criterion", "dice",
+            "--optimizer", "adam", "--epochs", "500",
+            "--val_frequency", "1000", "--patch_size", "16", "16", "16",
+            "--batch_size", "1", "--num_workers", "1", "--fold", "0",
+            "--no_tensorboard", "--no_amp", "--no_full_name", "-v"]
+    env = {k: v for k, v in os.environ.items()}
+    env.update({"PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+                "PYTHONUNBUFFERED": "1",
+                # the conftest's 8-device XLA_FLAGS would leak in and make
+                # the subprocess compile the GSPMD-partitioned step (slow)
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    proc = subprocess.Popen(argv, env=env, cwd=repo,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        # the SIGTERM handler installs before the (minutes-long, machine-
+        # load-dependent) startup compiles, and a flag set during them is
+        # honored at the first training batch — so signalling shortly
+        # after launch exercises the graceful path without depending on
+        # compile speed
+        logfile = os.path.join(save, "logfile.log")
+        t0 = time.time()
+        while time.time() - t0 < 300 and not os.path.exists(logfile):
+            time.sleep(1)
+        assert os.path.exists(logfile), "run never started"
+        time.sleep(10)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=1800)
+    finally:
+        if proc.poll() is None:   # never leak the 500-epoch trainer
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, out[-3000:]
+    assert "exiting cleanly" in out
+    assert os.path.isdir(os.path.join(save, "last_model"))
+
+    # and the checkpoint resumes
+    resume_argv = argv[:2] + argv[2:] + [
+        "--resume", os.path.join(save, "last_model")]
+    resume_argv[resume_argv.index("--epochs") + 1] = "2"
+    r = subprocess.run(resume_argv, env=env, cwd=repo, capture_output=True,
+                       text=True, timeout=1800)
+    # resume epoch may already exceed --epochs 2; either way it must exit 0
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
