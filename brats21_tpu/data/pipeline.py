@@ -136,19 +136,35 @@ def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class _PrefetchIterator:
-    """Thread-pool map + bounded queue: keeps ``prefetch`` batches in flight."""
+    """Thread-pool map + bounded queue: keeps ``prefetch`` batches in flight.
+
+    Abandon-safe: a consumer that stops iterating early (or is GC'd)
+    releases the producer via ``close()`` — a plain blocking ``put`` on the
+    bounded queue would otherwise pin the producer thread forever, and a
+    long test session leaks threads until native thread creation aborts."""
 
     def __init__(self, make_item: Callable[[int], Any], n: int,
                  num_workers: int, prefetch: int = 2):
         self._q: "queue.Queue[Any]" = queue.Queue(maxsize=max(prefetch, 1))
         self._n = n
         self._error: Optional[BaseException] = None
+        self._closed = threading.Event()
+
+        def _put(item) -> bool:
+            while not self._closed.is_set():
+                try:
+                    self._q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 if num_workers <= 1:
                     for i in range(n):
-                        self._q.put(make_item(i))
+                        if not _put(make_item(i)):
+                            return
                 else:
                     # bounded in-flight window: pool.map would schedule the
                     # whole epoch eagerly and materialize every batch in RAM
@@ -164,14 +180,22 @@ class _PrefetchIterator:
                                 idx += 1
                             # q is bounded: this put blocks, throttling the
                             # submission loop above
-                            self._q.put(futures.popleft().result())
+                            if not _put(futures.popleft().result()):
+                                return
             except BaseException as e:  # propagate into consumer
                 self._error = e
             finally:
-                self._q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         self._thread = threading.Thread(target=producer, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Release the producer thread (idempotent)."""
+        self._closed.set()
+
+    def __del__(self):  # abandoned iterator → no thread leak
+        self.close()
 
     def __iter__(self):
         return self
@@ -179,6 +203,7 @@ class _PrefetchIterator:
     def __next__(self):
         item = self._q.get()
         if item is _SENTINEL:
+            self.close()
             if self._error is not None:
                 raise self._error
             raise StopIteration

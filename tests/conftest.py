@@ -21,6 +21,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_cache():
+    """Drop compiled executables between test modules: a full-suite run in
+    one process otherwise accumulates ~200 tests' executables (and their
+    thread pools) — on small CI hosts that ends in a native abort."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
