@@ -12,9 +12,9 @@ module spans a training run across processes the TPU way:
 * the data axis shards the global batch: every process feeds its LOCAL
   shard via ``global_batch_from_local`` (``cfg.batch_size`` is per-process;
   global batch = batch_size × process_count).
-* dataset records are striped per process with ``process_shard`` (trimmed
-  to equal length so all processes take the same number of lock-step
-  steps per epoch).
+* dataset records are striped per process with ``process_shard`` (padded
+  by wrapping to equal length so all processes take the same number of
+  lock-step steps per epoch and no record is ever dropped).
 * artifacts (config.yaml, logfile, TensorBoard, checkpoints, reports) are
   written by process 0 only (``is_primary``).
 
@@ -59,8 +59,16 @@ def maybe_initialize_distributed() -> bool:
     import jax
     num = int(os.environ[NPROC_ENV])
     pid = int(os.environ[PID_ENV])
+    # BRATS21_SHUTDOWN_TIMEOUT: the coordination service's shutdown
+    # barrier (default 300 s) must exceed the worst process SKEW — each
+    # process compiles independently, so on starved hosts one worker can
+    # lag by whole compile durations while another already exits
+    shutdown = int(os.environ.get("BRATS21_SHUTDOWN_TIMEOUT", "300"))
+    init_to = int(os.environ.get("BRATS21_INIT_TIMEOUT", "300"))
     jax.distributed.initialize(coordinator_address=coord,
-                               num_processes=num, process_id=pid)
+                               num_processes=num, process_id=pid,
+                               initialization_timeout=init_to,
+                               shutdown_timeout_seconds=shutdown)
     _initialized = num > 1
     return _initialized
 
@@ -305,6 +313,9 @@ def run_multiprocess_dryrun(nproc: int = 2, ndev: int = 4,
                if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
                             COORD_ENV, NPROC_ENV, PID_ENV)}
         env["PYTHONPATH"] = repo
+        # starved hosts serialize the workers' compiles; the shutdown
+        # barrier must cover the resulting skew
+        env.setdefault("BRATS21_SHUTDOWN_TIMEOUT", "1500")
         code = (f"from brats21_tpu.parallel.multihost import _dryrun_worker; "
                 f"_dryrun_worker({pid}, {nproc}, {port}, {ndev}, {out_dir!r})")
         procs.append(subprocess.Popen(

@@ -19,6 +19,9 @@ def _clean_env(extra):
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "BRATS21_COORDINATOR",
                         "BRATS21_NUM_PROCESSES", "BRATS21_PROCESS_ID")}
     env["PYTHONPATH"] = REPO
+    # 1-core CI hosts serialize the two workers' compiles: the shutdown
+    # barrier must outlive the skew (multihost.maybe_initialize_distributed)
+    env["BRATS21_SHUTDOWN_TIMEOUT"] = "1500"
     env.update(extra)
     return env
 
