@@ -85,8 +85,14 @@ def main(argv=None) -> None:
     # merge to the primary (reference main_inference.py is single-GPU)
     if distributed:
         from ..parallel.mesh import make_mesh
+        from ..parallel.multihost import warmup_collectives
         mesh = make_mesh(jax.local_devices(),
                          data=len(jax.local_devices()), space=1)
+        # eval itself is process-local, but the final meter/report merges
+        # are device collectives — establish the gloo context NOW (seconds
+        # of skew) instead of at the merge (minutes of skewed eval work)
+        warmup_collectives(make_mesh(jax.devices(),
+                                     data=len(jax.devices()), space=1))
     else:
         mesh = local_mesh()
     engine = Engine(cfg, members[0][0], criterion, mesh=mesh)

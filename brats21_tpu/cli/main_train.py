@@ -117,6 +117,12 @@ def main(argv=None) -> None:
     tx = make_optimizer(cfg, steps_per_epoch)
 
     mesh = local_mesh()
+    if distributed:
+        # the CPU-backend gloo context has a hardcoded ~30 s rendezvous at
+        # the FIRST collective; perform it now, before the (possibly
+        # minutes-skewed) model compiles (multihost.warmup_collectives)
+        from ..parallel.multihost import warmup_collectives
+        warmup_collectives(mesh)
     eval_mesh = None
     if distributed:
         # validation is case-striped: EVERY process scores its own stripe

@@ -123,6 +123,34 @@ def shard_eval_records(records: Sequence[Any],
     return list(records[index::count])
 
 
+def warmup_collectives(mesh) -> None:
+    """Establish the cross-process collective context EARLY.
+
+    On the CPU backend the gloo context performs its rendezvous at the
+    FIRST collective execution with a hardcoded ~30 s key-value timeout
+    (`Gloo context initialization failed: GetKeyValue() timed out`). Each
+    process compiles its model independently, so by the time the first
+    real collective runs the inter-process skew can be minutes on starved
+    hosts. Running a trivial sharded reduction here — seconds after
+    ``jax.distributed.initialize`` synchronized everyone, with a
+    sub-second compile — performs the rendezvous while the skew is small;
+    the established context is reused by every later collective."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if jax.process_count() == 1:
+        return
+    n_local = sum(1 for d in mesh.devices.flat
+                  if d.process_index == jax.process_index())
+    if n_local == 0:
+        return
+    sharding = NamedSharding(mesh, P("data"))
+    x = jax.make_array_from_process_local_data(
+        sharding, np.ones((n_local,), np.float32))
+    total = float(jax.jit(lambda a: a.sum(),
+                          out_shardings=NamedSharding(mesh, P()))(x))
+    assert total == float(mesh.devices.size), total
+
+
 def gather_objects(obj: Any) -> List[Any]:
     """All-gather one JSON-able object per process (ordered by process id).
 
@@ -251,6 +279,7 @@ def _dryrun_worker(pid: int, nproc: int, port: int, ndev: int,
     n_global = len(jax.devices())
     assert n_global == nproc * ndev, (n_global, nproc, ndev)
     mesh = make_mesh(jax.devices(), data=n_global, space=1)
+    warmup_collectives(mesh)  # gloo rendezvous before the skewed compiles
 
     cfg = TrainConfig(model="equiunet_assp_evo", width=4, optimizer="ranger",
                       criterion="dice", use_gc=True, batch_size=ndev)
