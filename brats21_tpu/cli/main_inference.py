@@ -68,13 +68,25 @@ def main(argv=None) -> None:
               "num_workers", "create_patient_dir"):
         setattr(cfg, k, getattr(cfg0, k))
 
+    watch = getattr(cfg0, "watch", False) and cfg0.on == "test"
+    initial_records = None
     if cfg0.on == "train":
         _, loader = make_train_val_loaders(cfg, train_in_val_mode=True)
     elif cfg0.on == "val":
         _, loader = make_train_val_loaders(cfg)
     else:
-        loader = make_test_loader(cfg0)
-    assert loader is not None, "no data found for inference"
+        # discover BEFORE evaluating so watch mode can mark exactly this
+        # snapshot as processed — cases that land DURING the (long) initial
+        # pass must be picked up by the first poll, not silently skipped
+        from ..data.pipeline import discover_test_records, make_records_loader
+        initial_records = discover_test_records(cfg0)
+        my_records = initial_records
+        if distributed:
+            from ..parallel.multihost import shard_eval_records
+            my_records = shard_eval_records(initial_records)
+        loader = make_records_loader(my_records, cfg0)
+    # watch mode may start on an empty directory (cases land later)
+    assert loader is not None or watch, "no data found for inference"
 
     criterion = make_criterion(cfg)
     members = [load_member(ns) for ns in config_dict.values()]
@@ -101,17 +113,18 @@ def main(argv=None) -> None:
         autosave_dir=cfg0.save_path,
         name=(base_name if primary else
               f"{base_name}.proc{jax.process_index()}"))
-    engine.evaluate(
-        members, loader, 0,
-        use_tta=bool(cfg0.tta),
-        save_seg=True,
-        output_path=os.path.join(cfg0.save_path,
-                                 f"Inference_segmentations_{cfg0.on}"),
-        perform_staple=bool(cfg0.perform_staple),
-        staple_threshold=cfg0.staple_threshold,
-        post_kwargs=post_kwargs_from_cfg(cfg0),
-        report=report if cfg0.on in ("val", "train") else None,
-        step_mode=f"metric_{cfg0.on}")
+    if loader is not None and len(loader):
+        engine.evaluate(
+            members, loader, 0,
+            use_tta=bool(cfg0.tta),
+            save_seg=True,
+            output_path=os.path.join(cfg0.save_path,
+                                     f"Inference_segmentations_{cfg0.on}"),
+            perform_staple=bool(cfg0.perform_staple),
+            staple_threshold=cfg0.staple_threshold,
+            post_kwargs=post_kwargs_from_cfg(cfg0),
+            report=report if cfg0.on in ("val", "train") else None,
+            step_mode=f"metric_{cfg0.on}")
     if distributed:
         from ..parallel.multihost import merge_report_rows
         merge_report_rows(report)  # collective: every process joins
@@ -119,7 +132,7 @@ def main(argv=None) -> None:
         report.name = base_name
         report.save(cfg0.save_path)
 
-    if getattr(cfg0, "watch", False) and cfg0.on == "test":
+    if watch:
         # serve mode: the jitted executables stay warm in engine._eval_cache;
         # each new complete case pays only preprocess + transfer + forward.
         # Cases must land atomically (write elsewhere, rename in) — the
@@ -128,7 +141,19 @@ def main(argv=None) -> None:
         # entrypoint (Dockerfile / README.md:134-170); this is its
         # persistent TPU-serving extension.
         from ..data.pipeline import discover_test_records, make_records_loader
-        seen = {r["patient_id"] for r in discover_test_records(cfg0)}
+        # seen = the pre-eval snapshot: cases that landed DURING the
+        # initial pass are new to every process's first poll
+        seen = {r["patient_id"] for r in (initial_records or [])}
+        nproc, pidx = jax.process_count(), jax.process_index()
+
+        def mine(rec) -> bool:
+            # deterministic per-case owner on multi-host serving: polls on
+            # different hosts see new cases at different times, so index
+            # striping would double- or zero-assign; a stable hash cannot
+            import zlib
+            return nproc <= 1 or (
+                zlib.crc32(rec["patient_id"].encode()) % nproc == pidx)
+
         logger.info("watch mode: serving %s every %.1fs (%d case(s) done)",
                     cfg0.test_data_path, cfg0.watch_interval, len(seen))
         stop_file = cfg0.watch_stop_file
@@ -136,23 +161,32 @@ def main(argv=None) -> None:
             while not (stop_file and os.path.exists(stop_file)):
                 time.sleep(cfg0.watch_interval)
                 records = [r for r in discover_test_records(cfg0)
-                           if r["patient_id"] not in seen]
+                           if r["patient_id"] not in seen and mine(r)]
                 if not records:
                     continue
                 loader = make_records_loader(records, cfg0)
                 t0 = time.time()
-                engine.evaluate(
-                    members, loader, 0, use_tta=bool(cfg0.tta),
-                    save_seg=True,
-                    output_path=os.path.join(
-                        cfg0.save_path, f"Inference_segmentations_{cfg0.on}"),
-                    perform_staple=bool(cfg0.perform_staple),
-                    staple_threshold=cfg0.staple_threshold,
-                    post_kwargs=post_kwargs_from_cfg(cfg0),
-                    step_mode=f"metric_{cfg0.on}")
+                try:
+                    engine.evaluate(
+                        members, loader, 0, use_tta=bool(cfg0.tta),
+                        save_seg=True,
+                        output_path=os.path.join(
+                            cfg0.save_path,
+                            f"Inference_segmentations_{cfg0.on}"),
+                        perform_staple=bool(cfg0.perform_staple),
+                        staple_threshold=cfg0.staple_threshold,
+                        post_kwargs=post_kwargs_from_cfg(cfg0),
+                        step_mode=f"metric_{cfg0.on}")
+                    logger.info("watch: segmented %d new case(s) in %.2fs",
+                                len(records), time.time() - t0)
+                except Exception:  # noqa: BLE001 — the server must survive
+                    # one poison case (corrupt upload, transient IO) must
+                    # not kill the server or crash-loop it on restart
+                    logger.exception(
+                        "watch: batch of %d case(s) failed — skipping %s",
+                        len(records),
+                        [r["patient_id"] for r in records])
                 seen.update(r["patient_id"] for r in records)
-                logger.info("watch: segmented %d new case(s) in %.2fs",
-                            len(records), time.time() - t0)
         except KeyboardInterrupt:
             logger.info("watch mode interrupted; exiting")
 

@@ -82,10 +82,17 @@ def main(argv=None) -> None:
     # multi-host runs reach epoch-end consensus (every process must agree
     # on the stop step or the collectives deadlock).
     import signal
-    stop_requested = {"flag": False}
+    # defer=True while a checkpointable training phase is (or will be)
+    # running: the flag is honored at the next training batch / epoch
+    # consensus. Outside that window (--only_evaluate, end-of-training
+    # eval) deferring would silently swallow the signal, so the handler
+    # keeps SIGTERM's terminate semantics there.
+    stop_requested = {"flag": False, "defer": True}
 
     def _request_stop(signum, frame):
         stop_requested["flag"] = True
+        if not stop_requested["defer"]:
+            raise SystemExit(128 + signum)
 
     try:
         signal.signal(signal.SIGTERM, _request_stop)
@@ -167,6 +174,8 @@ def main(argv=None) -> None:
     progress = ProgressMeter(cfg.epochs, [epoch_time], prefix="Epoch: ")
     post_kwargs = post_kwargs_from_cfg(cfg)
 
+    if cfg.only_evaluate:
+        stop_requested["defer"] = False   # no training phase: SIGTERM exits
     if not cfg.only_evaluate:
         logger.info("Time elapsed before training: %.1fs",
                     time.time() - total_start)
@@ -184,12 +193,17 @@ def main(argv=None) -> None:
                 stop_requested["flag"] = any(
                     gather_objects(stop_requested["flag"]))
             if stop_requested["flag"]:
+                # single-process stops MID-epoch (per-batch check): the
+                # interrupted epoch re-runs on resume (epoch-1 recorded).
+                # Multi-host stops at epoch-END consensus: the epoch DID
+                # complete (state.step advanced through it), so it counts —
+                # recording epoch-1 would replay it and shift the
+                # step-based schedules by a whole epoch.
+                done_epoch = epoch if distributed else epoch - 1
                 if primary:
-                    # the interrupted epoch is NOT counted complete: resume
-                    # re-runs it (epoch - 1 recorded)
-                    ckpt.save_last(state, epoch - 1)
-                logger.info("preempted at epoch %d: last_model saved, "
-                            "exiting cleanly", epoch)
+                    ckpt.save_last(state, done_epoch)
+                logger.info("preempted after epoch %d: last_model saved, "
+                            "exiting cleanly", done_epoch)
                 break
             epoch_time.update(time.time() - t0)
             t0 = time.time()
@@ -232,6 +246,9 @@ def main(argv=None) -> None:
             if cfg.fold is None and train_meters is not None and primary:
                 ckpt.save(state, epoch, float(train_meters["loss"].avg))
 
+    # training (if any) is over: nothing checkpointable remains, restore
+    # SIGTERM's terminate semantics for the (long) final evaluation
+    stop_requested["defer"] = False
     if (cfg.evaluate_end_training or cfg.only_evaluate) \
             and not stop_requested["flag"]:
         # reload best (or last for SWA) and evaluate ± TTA (main_train.py:197-243).

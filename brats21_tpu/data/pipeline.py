@@ -396,5 +396,4 @@ def make_test_loader(cfg: Any) -> Optional[EvalLoader]:
         # (possibly empty — the loader then just yields nothing and the
         # process joins the final merge collectives with zero rows)
         records = shard_eval_records(records)
-    ds = BraTSDataset(records, with_seg=False, remove_outliers=False)
-    return EvalLoader(ds, num_workers=max(getattr(cfg, "num_workers", 2) // 2, 1))
+    return make_records_loader(records, cfg)

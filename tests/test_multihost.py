@@ -124,7 +124,13 @@ def _run_two_procs(argv, extra_env, timeout=1800, attempts=2):
             procs.append(subprocess.Popen(
                 [sys.executable] + argv, env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        try:
+            outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        finally:
+            for p in procs:           # never leak a hung trainer
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
         ok = all(p.returncode == 0 for p in procs)
         if ok or (attempt + 1 < attempts
                   and any("DEADLINE_EXCEEDED" in o for o in outs)):
