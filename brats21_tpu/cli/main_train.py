@@ -210,7 +210,7 @@ def main(argv=None) -> None:
             progress.display(epoch)
 
             if cfg.fold is not None and epoch % cfg.val_frequency == 0 \
-                    and valid_loader is not None:
+                    and (valid_loader is not None or distributed):
                 # after swa_start the SWA-averaged weights are validated
                 # (reference engine.py:184-187)
                 use_swa = (bool(cfg.swa_start) and epoch > cfg.swa_start
@@ -227,10 +227,16 @@ def main(argv=None) -> None:
                     # jit stays process-local, then meters merge globally
                     val_vars = jax.tree_util.tree_map(
                         lambda x: np.asarray(x), val_vars)
-                val_meters = engine.evaluate(
-                    [val_vars], valid_loader, epoch,
-                    post_kwargs=post_kwargs,
-                    step_mode="val_swa" if use_swa else "val")
+                if valid_loader is not None and len(valid_loader):
+                    val_meters = engine.evaluate(
+                        [val_vars], valid_loader, epoch,
+                        post_kwargs=post_kwargs,
+                        step_mode="val_swa" if use_swa else "val")
+                else:
+                    # empty eval stripe (fewer val cases than processes):
+                    # still join the merge collective with count-0 meters —
+                    # skipping it would deadlock the scoring peers
+                    val_meters = engine.empty_eval_meters()
                 if distributed:
                     from ..parallel.multihost import merge_meters
                     merge_meters(val_meters)  # collective: all processes
@@ -284,13 +290,19 @@ def main(argv=None) -> None:
                 autosave_dir=cfg.save_path,
                 name=(f"Evaluation{suffix}" if primary else
                       f"Evaluation{suffix}.proc{jax.process_index()}"))
-            meters = engine.evaluate(
-                [variables], valid_loader, 0, use_tta=bool(eval_type),
-                save_seg=True,
-                output_path=os.path.join(cfg.save_path,
-                                         f"segmentations{eval_type}"),
-                post_kwargs=post_kwargs, report=report,
-                step_mode="metric_val")
+            if valid_loader is not None and len(valid_loader):
+                meters = engine.evaluate(
+                    [variables], valid_loader, 0, use_tta=bool(eval_type),
+                    save_seg=True,
+                    output_path=os.path.join(cfg.save_path,
+                                             f"segmentations{eval_type}"),
+                    post_kwargs=post_kwargs, report=report,
+                    step_mode="metric_val")
+            else:
+                # empty eval stripe: still join the merge collectives below
+                # (count-0 meters, zero report rows) — see the in-training
+                # validation note above
+                meters = engine.empty_eval_meters()
             if distributed:
                 merge_meters(meters)        # collectives: every process
                 merge_report_rows(report)   # participates, primary writes

@@ -488,6 +488,21 @@ class Engine:
         pads += [(0, 0)] * (arr.ndim - 3)
         return np.pad(arr, pads)
 
+    def _wanted_metrics(self) -> List[str]:
+        cfg = self.cfg
+        return list(dict.fromkeys(
+            list(cfg.key_metric) + [m for m in cfg.additional_metrics if m]))
+
+    def empty_eval_meters(self) -> Dict[str, AverageMeter]:
+        """A meter dict shape-compatible with :meth:`evaluate`'s return, all
+        count 0 — for processes whose eval stripe is EMPTY (fewer val cases
+        than processes). They must still join the multihost.merge_meters
+        collective; skipping it deadlocks the peers."""
+        return {"loss": AverageMeter("loss", ":.4e"),
+                "batch_time": AverageMeter("time", ":6.3f"),
+                **{m: AverageMeter(m, ":.4f")
+                   for m in self._wanted_metrics()}}
+
     def evaluate(self, members: List[Any], loader, epoch: int,
                  use_tta: bool = False, save_seg: bool = False,
                  output_path: Optional[str] = None,
@@ -504,8 +519,7 @@ class Engine:
         (model, variables) pair for heterogeneous ensembles.
         """
         cfg = self.cfg
-        metrics_wanted = list(dict.fromkeys(
-            list(cfg.key_metric) + [m for m in cfg.additional_metrics if m]))
+        metrics_wanted = self._wanted_metrics()
         losses = AverageMeter("loss", ":.4e")
         batch_time = AverageMeter("time", ":6.3f")
         metric_meters = {m: AverageMeter(m, ":.4f") for m in metrics_wanted}

@@ -205,6 +205,44 @@ def test_multiprocess_cli_training(tmp_path, synthetic_case_12):
     assert len(segs) == n_val, segs
 
 
+@pytest.mark.slow
+def test_multiprocess_empty_eval_stripe(tmp_path, tmp_path_factory):
+    """2 processes, ONE val case: process 1's eval stripe is empty. It must
+    still join the merge_meters / merge_report_rows collectives (count-0
+    meters) instead of skipping validation — the skip deadlocked the
+    scoring peer (ADVICE round-2 #1). Covers both the in-training
+    validation and the end-of-training eval."""
+    from brats21_tpu.data.synthetic import generate_synthetic_dataset
+    data = tmp_path_factory.mktemp("brats_mh5")
+    # 5 cases, KFold(5) fold 0 -> exactly 1 val case, 4 train cases
+    generate_synthetic_dataset(str(data), num_cases=5, shape=(48, 48, 32),
+                               seed=2)
+    save = str(tmp_path / "runs")
+    argv = ["-m", "brats21_tpu.cli.main_train",
+            "--train_data_path", str(data),
+            "--save_path", save,
+            "--model", "equiunet", "--width", "4",
+            "--criterion", "dice", "--optimizer", "adam",
+            "--epochs", "1", "--val_frequency", "1",
+            "--patch_size", "16", "16", "16", "--batch_size", "4",
+            "--num_workers", "1", "--fold", "0", "--no_tensorboard",
+            "--no_full_name", "--no_amp", "--evaluate_end_training"]
+    _run_two_procs(argv, {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+    })
+    assert os.path.isdir(os.path.join(save, "best_model"))
+    # the merged end-of-training report holds the single val case
+    for suffix in ("", "_tta"):
+        csv = os.path.join(save, f"Evaluation{suffix}.csv")
+        assert os.path.exists(csv), os.listdir(save)
+        with open(csv) as f:
+            rows = [l for l in f.read().splitlines() if l.strip()]
+        assert len(rows) - 1 == 1, rows
+    segs = glob.glob(os.path.join(save, "segmentations", "*.nii.gz"))
+    assert len(segs) == 1, segs
+
+
 @pytest.fixture(scope="module")
 def synthetic_case_12(tmp_path_factory):
     from brats21_tpu.data.synthetic import generate_synthetic_dataset
