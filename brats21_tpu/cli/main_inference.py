@@ -69,6 +69,16 @@ def main(argv=None) -> None:
         setattr(cfg, k, getattr(cfg0, k))
 
     watch = getattr(cfg0, "watch", False) and cfg0.on == "test"
+    nproc, pidx = jax.process_count(), jax.process_index()
+
+    def owns(rec) -> bool:
+        # deterministic per-case owner on multi-host serving: polls on
+        # different hosts see new cases at different times, so index
+        # striping would double- or zero-assign; a stable hash cannot
+        import zlib
+        return nproc <= 1 or (
+            zlib.crc32(rec["patient_id"].encode()) % nproc == pidx)
+
     initial_records = None
     if cfg0.on == "train":
         _, loader = make_train_val_loaders(cfg, train_in_val_mode=True)
@@ -80,10 +90,26 @@ def main(argv=None) -> None:
         # pass must be picked up by the first poll, not silently skipped
         from ..data.pipeline import discover_test_records, make_records_loader
         initial_records = discover_test_records(cfg0)
-        my_records = initial_records
-        if distributed:
+        if distributed and watch:
+            # ONE canonical snapshot across processes: a case landing
+            # during the discovery window can appear in only one process's
+            # listing; if the watch-loop crc32 owner differs from the
+            # index-striped initial assignee, the case is never segmented
+            # (ADVICE round-2 #2). The union (keyed by patient_id) is
+            # striped by the SAME ownership hash the watch loop uses.
+            from ..parallel.multihost import gather_objects
+            canonical = {}
+            for recs in gather_objects(initial_records):
+                for r in recs:
+                    canonical.setdefault(r["patient_id"], r)
+            initial_records = [canonical[pid_]
+                               for pid_ in sorted(canonical)]
+            my_records = [r for r in initial_records if owns(r)]
+        elif distributed:
             from ..parallel.multihost import shard_eval_records
             my_records = shard_eval_records(initial_records)
+        else:
+            my_records = initial_records
         loader = make_records_loader(my_records, cfg0)
     # watch mode may start on an empty directory (cases land later)
     assert loader is not None or watch, "no data found for inference"
@@ -144,15 +170,36 @@ def main(argv=None) -> None:
         # seen = the pre-eval snapshot: cases that landed DURING the
         # initial pass are new to every process's first poll
         seen = {r["patient_id"] for r in (initial_records or [])}
-        nproc, pidx = jax.process_count(), jax.process_index()
+        # poison cases get bounded retries before a permanent quarantine
+        # (a corrupt upload may be re-uploaded correctly; a truly broken
+        # case must not crash-loop forever)
+        attempts: dict = {}
+        max_attempts = int(os.environ.get("BRATS21_WATCH_MAX_ATTEMPTS", "3"))
 
-        def mine(rec) -> bool:
-            # deterministic per-case owner on multi-host serving: polls on
-            # different hosts see new cases at different times, so index
-            # striping would double- or zero-assign; a stable hash cannot
-            import zlib
-            return nproc <= 1 or (
-                zlib.crc32(rec["patient_id"].encode()) % nproc == pidx)
+        def segment(recs) -> None:
+            engine.evaluate(
+                members, make_records_loader(recs, cfg0), 0,
+                use_tta=bool(cfg0.tta), save_seg=True,
+                output_path=os.path.join(
+                    cfg0.save_path, f"Inference_segmentations_{cfg0.on}"),
+                perform_staple=bool(cfg0.perform_staple),
+                staple_threshold=cfg0.staple_threshold,
+                post_kwargs=post_kwargs_from_cfg(cfg0),
+                step_mode=f"metric_{cfg0.on}")
+
+        def quarantine(rec) -> None:
+            pid_ = rec["patient_id"]
+            attempts[pid_] = attempts.get(pid_, 0) + 1
+            if attempts[pid_] >= max_attempts:
+                seen.add(pid_)   # permanent: stop rediscovering it
+                logger.error(
+                    "watch: case %s failed %d/%d attempts — permanently "
+                    "quarantined (not segmented)", pid_, attempts[pid_],
+                    max_attempts)
+            else:
+                logger.warning(
+                    "watch: case %s failed (attempt %d/%d) — will retry "
+                    "next poll", pid_, attempts[pid_], max_attempts)
 
         logger.info("watch mode: serving %s every %.1fs (%d case(s) done)",
                     cfg0.test_data_path, cfg0.watch_interval, len(seen))
@@ -160,33 +207,37 @@ def main(argv=None) -> None:
         try:
             while not (stop_file and os.path.exists(stop_file)):
                 time.sleep(cfg0.watch_interval)
-                records = [r for r in discover_test_records(cfg0)
-                           if r["patient_id"] not in seen and mine(r)]
-                if not records:
-                    continue
-                loader = make_records_loader(records, cfg0)
-                t0 = time.time()
                 try:
-                    engine.evaluate(
-                        members, loader, 0, use_tta=bool(cfg0.tta),
-                        save_seg=True,
-                        output_path=os.path.join(
-                            cfg0.save_path,
-                            f"Inference_segmentations_{cfg0.on}"),
-                        perform_staple=bool(cfg0.perform_staple),
-                        staple_threshold=cfg0.staple_threshold,
-                        post_kwargs=post_kwargs_from_cfg(cfg0),
-                        step_mode=f"metric_{cfg0.on}")
-                    logger.info("watch: segmented %d new case(s) in %.2fs",
-                                len(records), time.time() - t0)
+                    # discovery itself can hit transient IO (network mount
+                    # hiccup) — the server must outlive it (ADVICE r2 #3)
+                    records = [r for r in discover_test_records(cfg0)
+                               if r["patient_id"] not in seen and owns(r)]
+                    if not records:
+                        continue
+                    t0 = time.time()
+                    try:
+                        segment(records)
+                        seen.update(r["patient_id"] for r in records)
+                        logger.info(
+                            "watch: segmented %d new case(s) in %.2fs",
+                            len(records), time.time() - t0)
+                    except Exception:  # noqa: BLE001 — isolate the poison
+                        # one corrupt upload must not discard the healthy
+                        # cases sharing its poll: re-run each individually,
+                        # quarantine only the failures (VERDICT r2 #6)
+                        logger.exception(
+                            "watch: batch of %d case(s) failed — "
+                            "isolating per case", len(records))
+                        for rec in records:
+                            try:
+                                segment([rec])
+                                seen.add(rec["patient_id"])
+                                attempts.pop(rec["patient_id"], None)
+                            except Exception:  # noqa: BLE001
+                                quarantine(rec)
                 except Exception:  # noqa: BLE001 — the server must survive
-                    # one poison case (corrupt upload, transient IO) must
-                    # not kill the server or crash-loop it on restart
                     logger.exception(
-                        "watch: batch of %d case(s) failed — skipping %s",
-                        len(records),
-                        [r["patient_id"] for r in records])
-                seen.update(r["patient_id"] for r in records)
+                        "watch: poll failed — retrying next interval")
         except KeyboardInterrupt:
             logger.info("watch mode interrupted; exiting")
 

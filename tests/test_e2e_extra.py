@@ -183,6 +183,78 @@ def test_watch_mode_serves_new_cases(quick_run, tmp_path):
     assert segs == [f"{c}.nii.gz" for c in cases]
 
 
+def test_watch_mode_poison_isolation(quick_run, tmp_path, monkeypatch):
+    """One corrupt upload landing in the same poll as two healthy cases:
+    both healthy cases get segmented (per-case isolation), the server
+    stays up, and the corrupt case is permanently quarantined after its
+    bounded retries (VERDICT round-2 #6)."""
+    import shutil
+    import threading
+    import time
+
+    from brats21_tpu.data.synthetic import generate_synthetic_dataset
+
+    monkeypatch.setenv("BRATS21_WATCH_MAX_ATTEMPTS", "2")
+    data = tmp_path / "watch_data"
+    data.mkdir()
+    staging = tmp_path / "staging"
+    generate_synthetic_dataset(str(staging), num_cases=3, shape=(16, 16, 16),
+                               seed=5)
+    cases = sorted(os.listdir(staging))
+    bad = cases[1]
+    # all four modality files exist (so discovery accepts the case) but one
+    # is garbage bytes — the NIfTI decode fails at load time
+    with open(staging / bad / f"{bad}_t1.nii.gz", "wb") as f:
+        f.write(b"this is not a nifti")
+
+    out = str(tmp_path / "watch_out")
+    stop = tmp_path / "stop_now"
+    argv = [
+        "--config", os.path.join(quick_run, "config.yaml"),
+        "--on", "test", "--input", str(data), "--output", out,
+        "--num_workers", "1",
+        "--watch", "--watch_interval", "0.5",
+        "--watch_stop_file", str(stop),
+    ]
+    t = threading.Thread(target=infer_main, args=(argv,), daemon=True)
+    t.start()
+    time.sleep(1.0)
+    # the three cases land atomically between polls — the poison shares
+    # its poll with the healthy ones
+    for c in cases:
+        shutil.move(str(staging / c), str(data / c))
+
+    seg_dir = os.path.join(out, "Inference_segmentations_test")
+    healthy = [cases[0], cases[2]]
+
+    def wait_for(pred, timeout=300):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.3)
+        return False
+
+    assert wait_for(lambda: all(
+        os.path.exists(os.path.join(seg_dir, f"{c}.nii.gz"))
+        for c in healthy)), "healthy cases never segmented"
+
+    logfile = os.path.join(out, "logfile_inference.log")
+
+    def quarantined():
+        with open(logfile) as f:
+            return "permanently quarantined" in f.read()
+
+    assert wait_for(quarantined), \
+        "corrupt case never reached permanent quarantine"
+    stop.touch()
+    t.join(timeout=120)
+    assert not t.is_alive(), "watch loop did not stop on the stop file"
+    segs = sorted(os.path.basename(s)
+                  for s in glob.glob(os.path.join(seg_dir, "*.nii.gz")))
+    assert segs == [f"{c}.nii.gz" for c in healthy]
+
+
 def test_sigterm_graceful_checkpoint(tmp_path, synthetic_case):
     """Preemption contract: SIGTERM mid-training writes a resumable
     last_model and exits 0 (the reference only has manual --resume)."""
