@@ -66,6 +66,12 @@ def build_train_parser() -> argparse.ArgumentParser:
     g.add_argument("--max_grad_norm", type=float, default=1)
     g.add_argument("--remove_outliers", action="store_true", default=False)
     g.add_argument("--num_workers", type=int, default=4)
+    g.add_argument("--wire", type=str, default="auto",
+                   choices=["auto", "sparse", "dense"],
+                   help="host<->device wire format for per-case eval: "
+                        "sparse = brain-masked packed volumes + bit-packed "
+                        "fused output + transfer/compute pipelining "
+                        "(ops/wire.py); auto probes link bandwidth once")
     g.add_argument("--seed", type=int, default=123)
     g.add_argument("--fold", default=0, type=lambda x: None if x == "None" else int(x))
     g.add_argument("--device", type=str, default="0")
@@ -179,6 +185,9 @@ def build_inference_parser() -> argparse.ArgumentParser:
     g.add_argument("--cleaning_areas_threshold", type=int, default=10)
     g.add_argument("--replace_value", action="store_true", default=False)
     g.add_argument("--replace_value_threshold", type=int, default=20)
+    g.add_argument("--wire", type=str, default="auto",
+                   choices=["auto", "sparse", "dense"],
+                   help="host<->device wire format (see main_train --wire)")
     return parser
 
 

@@ -110,6 +110,14 @@ class TrainConfig:
     # recompute; default — measured 397 ms vs 479 ms/step on v5e at
     # w48/128³ while the no-remat variant fails to fit), "none".
     remat_mode: str = "norm"
+    # host↔device wire format for the per-case eval path (not in the
+    # reference surface — it moves fp32 with .cuda()/.cpu()): "dense"
+    # (fp16 volumes in / fp32 fused out), "sparse" (brain-masked packed
+    # volumes in / bit-packed fused out + 2-in-flight pipelining,
+    # ops/wire.py), "auto" (probe the link bandwidth once and pick;
+    # transfer-starved links — remote relays, networked mounts — get
+    # sparse). BRATS21_SPARSE_WIRE=0/1 still force-overrides.
+    wire: str = "auto"
 
     def validate(self) -> "TrainConfig":
         if self.model not in MODEL_CHOICES:
@@ -126,6 +134,8 @@ class TrainConfig:
             raise ValueError("fold must be in 0..4 or None")
         if self.remat_mode not in ("block", "norm", "none"):
             raise ValueError("remat_mode must be block|norm|none")
+        if self.wire not in ("auto", "sparse", "dense"):
+            raise ValueError("wire must be auto|sparse|dense")
         return self
 
     # --- yaml roundtrip (config.yaml contract, main_train.py:67-69)

@@ -41,6 +41,29 @@ logger = get_logger("engine")
 
 Array = jax.Array
 
+#: per-process cache of the measured host link bandwidth (wire="auto")
+_WIRE_PROBE_MBPS: Dict[str, float] = {}
+
+
+def probe_wire_bandwidth() -> float:
+    """Measured H2D MB/s of an 8 MB buffer to the default device, best of
+    two tries (the first pays dispatch warmup). ``block_until_ready`` does
+    not synchronize through remote-device relays (axon), so a tiny D2H
+    read of a slice is what forces the transfer to complete."""
+    import jax.numpy as _jnp
+    backend = jax.default_backend()
+    if backend in _WIRE_PROBE_MBPS:
+        return _WIRE_PROBE_MBPS[backend]
+    buf = np.zeros((4 * 1024 * 1024,), np.float16)   # 8 MB
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        dev = _jnp.asarray(buf)
+        np.asarray(dev[:8])
+        best = max(best, buf.nbytes / 1e6 / max(time.time() - t0, 1e-9))
+    _WIRE_PROBE_MBPS[backend] = best
+    return best
+
 
 class Engine:
     """Drives training and evaluation for one model (or an ensemble at
@@ -68,6 +91,7 @@ class Engine:
         self.global_step = 0
         self.val_step = 0
         self._eval_cache: Dict[Tuple, Callable] = {}
+        self._wire_resolved: Optional[str] = None
 
     # ------------------------------------------------------------------ train
 
@@ -424,17 +448,39 @@ class Engine:
             lambda x: jax.device_put(x, sharding), stacked)
         return ms[0][0], stacked, n_real
 
+    def _resolve_wire(self) -> str:
+        """'sparse' or 'dense', resolved once per Engine from (in order)
+        the BRATS21_SPARSE_WIRE env override, ``cfg.wire``, and — for
+        wire='auto' — a one-shot host-link bandwidth probe: links slower
+        than BRATS21_WIRE_AUTO_MBPS (default 500 MB/s; remote relays and
+        networked mounts measure 25-50) get the sparse format + packed
+        D2H; local PCIe/CPU links keep the parity-default dense path."""
+        if self._wire_resolved is not None:
+            return self._wire_resolved
+        env = os.environ.get("BRATS21_SPARSE_WIRE")
+        if env is not None:
+            mode = "dense" if env in ("0", "false", "False") else "sparse"
+        else:
+            mode = getattr(self.cfg, "wire", "auto")
+            if mode == "auto":
+                mbps = probe_wire_bandwidth()
+                thresh = float(os.environ.get("BRATS21_WIRE_AUTO_MBPS",
+                                              "500"))
+                mode = "sparse" if mbps < thresh else "dense"
+                logger.info("wire=auto: link %.0f MB/s -> %s wire",
+                            mbps, mode)
+        self._wire_resolved = mode
+        return mode
+
     def _put_case(self, padded: np.ndarray) -> Array:
         """One case to HBM for the serial eval path, fp16 over the wire.
 
-        With BRATS21_SPARSE_WIRE=1 the transfer is the brain-masked sparse
-        format (ops/wire.py): a packbits mask + the nonzero fp16 voxels —
-        ~2× fewer wire bytes on a bbox-cropped BraTS case (~50% background)
-        — reconstructed EXACTLY on device, so every downstream eval fn is
-        untouched. For transfer-starved host links (remote relays,
-        networked mounts); the dense path is the default."""
-        if os.environ.get("BRATS21_SPARSE_WIRE", "0") in ("0", "false",
-                                                          "False"):
+        On the sparse wire (ops/wire.py; --wire / _resolve_wire) the
+        transfer is the brain-masked sparse format: a packbits mask + the
+        nonzero fp16 voxels — ~2× fewer wire bytes on a bbox-cropped BraTS
+        case (~50% background) — reconstructed EXACTLY on device, so every
+        downstream eval fn is untouched."""
+        if self._resolve_wire() == "dense":
             return jnp.asarray(padded.astype(np.float16))[None]
         from ..ops import wire
         bits, vals = wire.pack_volume(padded.astype(np.float16))
@@ -444,6 +490,28 @@ class Engine:
                          static_argnames=("spatial",))
             self._eval_cache["_sparse_unpack"] = fn
         return fn(jnp.asarray(bits), jnp.asarray(vals), padded.shape[:3])
+
+    def _get_seal_fn(self, shape: Tuple[int, ...], pack: bool) -> Callable:
+        """Jitted tail of a fused case: brain-mask the binarized output
+        (engine.py:259) and, on the sparse wire, bit-pack it on device so
+        the D2H transfer is 32× smaller than fp32 (ops/wire.py). Bit-exact:
+        the fused output is binary {0, 1} by construction (post_process /
+        staple threshold)."""
+        key = ("seal", shape, pack)
+        if key in self._eval_cache:
+            return self._eval_cache[key]
+
+        def seal(fused, img):
+            brain = (img != 0).any(axis=-1, keepdims=True)
+            out = fused * brain.astype(fused.dtype)
+            if pack:
+                from ..ops import wire
+                return wire.pack_bits_device(out)
+            return out
+
+        fn = jax.jit(seal)
+        self._eval_cache[key] = fn
+        return fn
 
     def _post_batched(self, probs: Array, post_kwargs: Dict[str, Any]) -> Array:
         """post_process over a stack of cases. The CC-labeling / replace
@@ -559,6 +627,11 @@ class Engine:
         n_cases = len(loader)
         done = 0
         pending: Dict[Tuple, List[Dict[str, Any]]] = {}
+        # sparse wire → bit-packed D2H of the fused binary output (32×
+        # fewer bytes than fp32) + deeper transfer/compute pipelining
+        pack = self._resolve_wire() == "sparse"
+        depth = max(int(os.environ.get("BRATS21_EVAL_PIPELINE", "2")), 1)
+        inflight: List[Dict[str, Any]] = []
 
         def finish_case(case: Dict[str, Any], fused_np: np.ndarray,
                         loss_val: Optional[float], elapsed: float) -> None:
@@ -629,16 +702,98 @@ class Engine:
                 loss_sum = loss_sum + np.asarray(l)
                 probs_sum = probs if probs_sum is None else probs_sum + probs
 
-            fused = self._post_batched(probs_sum / len(members), post_kwargs)
-            brain = (img_dev != 0).any(axis=-1, keepdims=True)
-            fused = np.asarray(fused * brain.astype(fused.dtype))
+            fused_dev = self._post_batched(probs_sum / len(members),
+                                           post_kwargs)
+            seal = self._get_seal_fn(tuple(fused_dev.shape), pack)
+            sealed = seal(fused_dev, img_dev)
+            if pack:
+                from ..ops import wire
+                fused = wire.unpack_bits(np.asarray(sealed),
+                                         tuple(fused_dev.shape))
+            else:
+                fused = np.asarray(sealed)
             per_case = (time.time() - t_start) / k
             for i, c in enumerate(cases):
                 finish_case(c, fused[i:i + 1],
                             float(loss_sum[i]) / len(members)
                             if with_target else None, per_case)
 
-        t0 = time.time()
+        def dispatch(case: Dict[str, Any]) -> Dict[str, Any]:
+            """Enqueue one case's full device pipeline — H2D (sparse or
+            fp16 dense) → members × eval → fuse → brain-mask/bit-pack —
+            WITHOUT forcing anything back to the host. JAX dispatch is
+            async, so the call returns while the device still computes."""
+            with_target = case["tgt_padded"] is not None
+            img_dev = self._put_case(case["padded"])
+            target_dev = None
+            if with_target:
+                target_dev = jnp.asarray(case["tgt_padded"])[None]
+                if case["dm"] is not None:
+                    target_dev = (target_dev, jnp.asarray(case["dm"])[None])
+
+            member_posts = []
+            probs_sum = None
+            loss_sum = jnp.zeros([], jnp.float32)
+            if member_stack is not None:
+                st_model, stacked, n_real = member_stack
+                fn = self._get_member_striped_fn(
+                    st_model, case["padded"].shape, with_target)
+                if with_target:
+                    probs_m, loss_m = fn(stacked, img_dev, target_dev)
+                else:
+                    probs_m, loss_m = fn(stacked, img_dev)
+                loss_sum = jnp.sum(loss_m[:n_real])
+                member_posts = [post_process(probs_m[i], **post_kwargs)
+                                for i in range(n_real)]
+            else:
+                for member in members:
+                    model, variables = member if isinstance(member, tuple) \
+                        else (self.model, member)
+                    eval_fn = self._get_eval_fn(model, case["padded"].shape,
+                                                use_tta, sliding, with_target)
+                    if with_target:
+                        probs, loss = eval_fn(variables, img_dev, target_dev)
+                    else:
+                        probs, loss = eval_fn(variables, img_dev)
+                    loss_sum = loss_sum + loss
+                    if perform_staple:
+                        member_posts.append(
+                            post_process(probs, **post_kwargs))
+                    elif probs_sum is None:
+                        probs_sum = probs
+                    else:
+                        probs_sum = probs_sum + probs
+
+            if perform_staple:
+                fused = staple_multichannel(jnp.stack(member_posts),
+                                            threshold_value=staple_threshold)
+            else:
+                fused = post_process(probs_sum / len(members), **post_kwargs)
+            # background masking (engine.py:259) + packed D2H, one jit
+            seal = self._get_seal_fn(tuple(fused.shape), pack)
+            return dict(case=case, sealed=seal(fused, img_dev),
+                        shape=tuple(fused.shape),
+                        loss=(loss_sum if with_target else None))
+
+        t_collect = time.time()
+
+        def collect(entry: Dict[str, Any]) -> None:
+            """Force one in-flight case's D2H and finish it on the host
+            (metrics, report, NIfTI save) — the host work overlaps the
+            NEXT case's device compute."""
+            nonlocal t_collect
+            if pack:
+                from ..ops import wire
+                fused_np = wire.unpack_bits(np.asarray(entry["sealed"]),
+                                            entry["shape"])
+            else:
+                fused_np = np.asarray(entry["sealed"])
+            loss_val = (float(entry["loss"]) / len(members)
+                        if entry["loss"] is not None else None)
+            now = time.time()
+            finish_case(entry["case"], fused_np, loss_val, now - t_collect)
+            t_collect = now
+
         for batch in loader:
             img_np = batch["img"][0]                      # [X,Y,Z,4]
             target_np = batch.get("seg")
@@ -667,67 +822,24 @@ class Engine:
                 if len(group) == n_dev:
                     flush_group(group)
                     group.clear()
-                    t0 = time.time()
                 continue
 
             # ---- serial per-case path (TTA / sliding / STAPLE / 1 device)
-            # fp16 over the wire (z-scored values fit comfortably); the
-            # eval fn casts to bf16/fp32 on device. Background masking
-            # relies on exact zeros, which fp16 preserves.
-            img_dev = self._put_case(padded)
-            target_dev = None
-            if with_target:
-                target_dev = jnp.asarray(tgt_padded)[None]
-                if dm is not None:
-                    target_dev = (target_dev, jnp.asarray(dm)[None])
+            # Up to ``depth`` cases in flight (BRATS21_EVAL_PIPELINE,
+            # default 2): case N+1's H2D + forward are enqueued while case
+            # N still computes, and case N's D2H collects one case behind
+            # — the transfer/compute pipelining that produced the bench.py
+            # headline, now in the product path (the reference
+            # synchronizes per TTA member, engine.py:234-239).
+            inflight.append(dispatch(case))
+            while len(inflight) >= depth:
+                collect(inflight.pop(0))
 
-            member_posts = []
-            probs_sum = None
-            loss_sum = jnp.zeros([], jnp.float32)
-            if member_stack is not None:
-                st_model, stacked, n_real = member_stack
-                fn = self._get_member_striped_fn(st_model, padded.shape,
-                                                 with_target)
-                if with_target:
-                    probs_m, loss_m = fn(stacked, img_dev, target_dev)
-                else:
-                    probs_m, loss_m = fn(stacked, img_dev)
-                loss_sum = jnp.sum(loss_m[:n_real])
-                member_posts = [post_process(probs_m[i], **post_kwargs)
-                                for i in range(n_real)]
-            else:
-                for member in members:
-                    model, variables = member if isinstance(member, tuple) \
-                        else (self.model, member)
-                    eval_fn = self._get_eval_fn(model, padded.shape, use_tta,
-                                                sliding, with_target)
-                    if with_target:
-                        probs, loss = eval_fn(variables, img_dev, target_dev)
-                    else:
-                        probs, loss = eval_fn(variables, img_dev)
-                    loss_sum = loss_sum + loss
-                    if perform_staple:
-                        member_posts.append(post_process(probs, **post_kwargs))
-                    elif probs_sum is None:
-                        probs_sum = probs
-                    else:
-                        probs_sum = probs_sum + probs
-
-            if perform_staple:
-                fused = staple_multichannel(jnp.stack(member_posts),
-                                            threshold_value=staple_threshold)
-            else:
-                fused = post_process(probs_sum / len(members), **post_kwargs)
-            # background masking (engine.py:259)
-            brain = (img_dev != 0).any(axis=-1, keepdims=True)
-            fused = np.asarray(fused * brain.astype(fused.dtype))
-            finish_case(case, fused,
-                        float(loss_sum) / len(members) if with_target
-                        else None,
-                        time.time() - t0)
-            t0 = time.time()
-
-        # flush remaining partial shape-groups (case-parallel mode)
+        # drain the pipeline, then flush remaining partial shape-groups
+        # (case-parallel mode)
+        for entry in inflight:
+            collect(entry)
+        inflight.clear()
         for group in pending.values():
             if group:
                 flush_group(group)
