@@ -11,7 +11,7 @@ from typing import Any
 
 import optax
 
-from .ranger import ranger, ranger21
+from .ranger import adaptive_grad_clip, ranger, ranger21
 from .schedules import make_lr_schedule
 
 
@@ -52,8 +52,10 @@ def make_optimizer(cfg: Any, steps_per_epoch: int) -> optax.GradientTransformati
 
     prefix = []
     if getattr(cfg, "adaptive_gradient_clipping", False):
-        # AGC (lr_scheduler.py:133-241): clipping=1e-2, eps=1e-3
-        prefix.append(optax.adaptive_grad_clip(clipping=1e-2, eps=1e-3))
+        # AGC (lr_scheduler.py:133-241): clipping=1e-2, eps=1e-3; own
+        # implementation — optax's raises on 5D conv kernels and uses the
+        # opposite linear-layer unit axis (learning/ranger.py)
+        prefix.append(adaptive_grad_clip(clipping=1e-2, eps=1e-3))
     elif getattr(cfg, "gradient_clipping", False):
         # torch clip_grad_norm_ over all params (engine.py:450-452)
         prefix.append(optax.clip_by_global_norm(float(cfg.max_grad_norm)))

@@ -52,6 +52,49 @@ def _unit_norm(x: chex.Array) -> chex.Array:
     return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
 
 
+def _agc_unitwise_norm(x: chex.Array) -> chex.Array:
+    """The reference AGC's unitwise norm (lr_scheduler.py:114-130) mapped
+    to flax layouts. torch reduces [out, in] over dim 0 and
+    [out, in, k, k(, k)] over dims 1..n-1; flax stores the transposed
+    [in, out] and [k(, k), k, in, out], so the same units are:
+    ndim 2-3 → reduce the LAST axis; ndim 4-5 → all but the last."""
+    if x.ndim <= 1:
+        return jnp.linalg.norm(x)
+    if x.ndim in (2, 3):
+        axes = (x.ndim - 1,)
+    else:
+        axes = tuple(range(x.ndim - 1))
+    return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
+
+
+def adaptive_grad_clip(clipping: float = 1e-2,
+                       eps: float = 1e-3) -> optax.GradientTransformation:
+    """Adaptive Gradient Clipping with the reference's exact semantics
+    (lr_scheduler.py:133-215): per-unit ``g ← g·max_norm/max(‖g‖, 1e-6)``
+    where ``max_norm = clipping·max(‖p‖, eps)``, triggered only where
+    ``‖g‖ > max_norm``. Replaces optax.adaptive_grad_clip, which (a)
+    raises on 5D conv kernels and (b) reduces linear layers over the
+    opposite axis."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        assert params is not None, "adaptive_grad_clip requires params"
+
+        def clip(g, p):
+            param_norm = jnp.maximum(_agc_unitwise_norm(p), eps)
+            grad_norm = _agc_unitwise_norm(g)
+            max_norm = param_norm * clipping
+            clipped = g * (max_norm / jnp.maximum(grad_norm, 1e-6))
+            return jnp.where(grad_norm > max_norm, clipped, g)
+
+        return jax.tree_util.tree_map(clip, grads, params), state
+
+    return optax.GradientTransformation(init, update)
+
+
 class RangerState(NamedTuple):
     count: chex.Array
     exp_avg: optax.Updates
@@ -109,33 +152,43 @@ def ranger(learning_rate: ScalarOrSchedule,
         exp_avg_sq = jax.tree_util.tree_map(
             lambda v, g: b2 * v + (1 - b2) * g * g, state.exp_avg_sq, grads)
 
-        beta2_t = b2 ** stepf
+        # beta powers via exp/expm1: the naive fp32 ``1 - b2**t`` loses
+        # ~5 significant digits near t=1 (b2=0.999 → cancellation), which
+        # perturbs N_sma by O(1e-2) and the rectified step size by
+        # O(1e-5) relative — enough to drift from the reference's
+        # float64-scalar trajectory (optimizer.py:214-222). expm1 keeps
+        # both to fp32 roundoff.
+        import math
+        log_b1, log_b2 = math.log(b1), math.log(b2)
+        beta2_t = jnp.exp(stepf * log_b2)
+        one_m_beta2_t = -jnp.expm1(stepf * log_b2)
         n_sma_max = 2.0 / (1 - b2) - 1.0
-        n_sma = n_sma_max - 2.0 * stepf * beta2_t / (1 - beta2_t)
-        rect = jnp.sqrt((1 - beta2_t) * (n_sma - 4) / (n_sma_max - 4)
+        n_sma = n_sma_max - 2.0 * stepf * beta2_t / one_m_beta2_t
+        rect = jnp.sqrt(one_m_beta2_t * (n_sma - 4) / (n_sma_max - 4)
                         * (n_sma - 2) / n_sma * n_sma_max / (n_sma_max - 2))
-        bias1 = 1.0 / (1 - b1 ** stepf)
+        bias1 = 1.0 / -jnp.expm1(stepf * log_b1)
         use_rect = n_sma > n_sma_threshold
         step_size = jnp.where(use_rect, rect * bias1, bias1)
 
-        def g_grad(m, v, p):
-            adaptive = m / (jnp.sqrt(v) + eps)
-            g = jnp.where(use_rect, adaptive, m)
-            if weight_decay:
-                g = g + weight_decay * p.astype(jnp.float32)
-            return g
-
-        gg = jax.tree_util.tree_map(g_grad, exp_avg, exp_avg_sq, params)
-
-        def fast_update(p, g):
+        def fast_update(p, m, v):
             p32 = p.astype(jnp.float32)
             if normloss:
+                # norm-loss scales the params BEFORE the weight-decay term
+                # reads them: the reference's in-place ``p.mul_`` aliases
+                # ``p_data_fp32`` for fp32 params, so the decay at
+                # optimizer.py:236-237 sees the scaled values
+                # (optimizer.py:192-198,242-243)
                 unorm = _unit_norm(p32)
                 correction = 2 * normloss_factor * (1 - 1.0 / (unorm + eps))
                 p32 = p32 * (1 - lr * correction)
+            adaptive = m / (jnp.sqrt(v) + eps)
+            g = jnp.where(use_rect, adaptive, m)
+            if weight_decay:
+                g = g + weight_decay * p32
             return p32 - step_size * lr * g
 
-        fast = jax.tree_util.tree_map(fast_update, params, gg)
+        fast = jax.tree_util.tree_map(fast_update, params, exp_avg,
+                                      exp_avg_sq)
 
         # lookahead (optimizer.py:245-253): every k steps blend into slow
         # weights and reset fast to slow.
