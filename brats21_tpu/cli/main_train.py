@@ -153,15 +153,25 @@ def main(argv=None) -> None:
     ckpt = CheckpointManager(cfg.save_path, save_on=cfg.save_on,
                              key_metric=cfg.key_metric[0])
     start_epoch = 1
+    resume_batch = 0
     if cfg.resume is not None:
         loaded_ckpt = load_checkpoint(cfg.resume)
         state, last_epoch = resume_state(state, loaded_ckpt)
         start_epoch = last_epoch + 1
+        # mid-epoch preemption cursor: epoch start_epoch already ran its
+        # first resume_batch batches (checkpoint.save_last) — replay it
+        # from there, not from batch 0
+        resume_batch = int(np.asarray(loaded_ckpt.get("batch_cursor", 0)))
+        # the rng folded into each train step is keyed on the engine's
+        # global step (engine.train_epoch) — restore it so the resumed
+        # trajectory is bit-identical to an uninterrupted run
+        engine.global_step = (start_epoch - 1) * steps_per_epoch \
+            + resume_batch
         if "best_value" in loaded_ckpt:
             # reference resume restores the tracked best (engine.py:511-525)
             ckpt.best_value = float(loaded_ckpt["best_value"])
-        logger.info("resumed from %s at epoch %d (best %s)", cfg.resume,
-                    last_epoch, ckpt.best_value)
+        logger.info("resumed from %s at epoch %d (batch %d, best %s)",
+                    cfg.resume, last_epoch, resume_batch, ckpt.best_value)
 
     if distributed:
         # the train state must be a GLOBAL array pytree replicated over the
@@ -180,30 +190,48 @@ def main(argv=None) -> None:
         logger.info("Time elapsed before training: %.1fs",
                     time.time() - total_start)
         t0 = time.time()
+        # deterministic preemption fault injection (tests): behave as if
+        # SIGTERM landed when the global train step reaches N
+        _stop_at = os.environ.get("BRATS21_PREEMPT_AT_STEP")
+        _stop_at = int(_stop_at) if _stop_at is not None else None
+
+        def should_stop() -> bool:
+            if _stop_at is not None and engine.global_step >= _stop_at:
+                stop_requested["flag"] = True
+            return stop_requested["flag"]
+
         for epoch in range(start_epoch, cfg.epochs + 1):
             train_meters = None
             if not cfg.debug_val:
                 state, train_meters = engine.train_epoch(
                     state, train_loader, epoch, rng,
-                    should_stop=(None if distributed
-                                 else lambda: stop_requested["flag"]))
+                    should_stop=(None if distributed else should_stop),
+                    start_batch=(resume_batch if epoch == start_epoch
+                                 else 0))
             if distributed:
                 # stop iff ANY process was signalled (collective consensus)
                 from ..parallel.multihost import gather_objects
                 stop_requested["flag"] = any(
                     gather_objects(stop_requested["flag"]))
             if stop_requested["flag"]:
-                # single-process stops MID-epoch (per-batch check): the
-                # interrupted epoch re-runs on resume (epoch-1 recorded).
-                # Multi-host stops at epoch-END consensus: the epoch DID
-                # complete (state.step advanced through it), so it counts —
-                # recording epoch-1 would replay it and shift the
-                # step-based schedules by a whole epoch.
-                done_epoch = epoch if distributed else epoch - 1
+                # Single-process may stop MID-epoch (per-batch check):
+                # record epoch-1 plus the exact batch cursor so resume
+                # replays ONLY the unseen remainder — the optimizer step
+                # count, step-based schedules, and rng folding stay
+                # bit-identical to an uninterrupted run. A stop that lands
+                # after the last batch (engine.last_epoch_stop is None)
+                # means the epoch completed and counts in full; so does
+                # the multi-host epoch-END consensus stop.
+                stop_batch = engine.last_epoch_stop
+                if distributed or stop_batch is None:
+                    done_epoch, cursor = epoch, 0
+                else:
+                    done_epoch, cursor = epoch - 1, stop_batch
                 if primary:
-                    ckpt.save_last(state, done_epoch)
-                logger.info("preempted after epoch %d: last_model saved, "
-                            "exiting cleanly", done_epoch)
+                    ckpt.save_last(state, done_epoch, batch_cursor=cursor)
+                logger.info("preempted after epoch %d (batch cursor %d): "
+                            "last_model saved, exiting cleanly",
+                            done_epoch, cursor)
                 break
             epoch_time.update(time.time() - t0)
             t0 = time.time()

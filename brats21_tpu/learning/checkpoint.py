@@ -113,14 +113,23 @@ class CheckpointManager:
             logger.info("epoch %d: new best %s=%.5f", epoch, self.save_on, value)
         return improved
 
-    def save_last(self, state: Any, epoch: int) -> None:
+    def save_last(self, state: Any, epoch: int,
+                  batch_cursor: int = 0) -> None:
         """Write ONLY last_model (no best-tracking update) — the graceful
         preemption path (SIGTERM mid-training saves a resumable state
-        without letting a partial epoch's loss contaminate 'best')."""
+        without letting a partial epoch's loss contaminate 'best').
+
+        ``batch_cursor``: number of batches of epoch+1 already applied to
+        ``state`` when the stop landed MID-epoch; resume replays epoch+1
+        from exactly this batch (Engine.train_epoch start_batch), keeping
+        the optimizer step count, step-based schedules, and rng folding
+        bit-identical to an uninterrupted run."""
         value = (self.best_value if self.best_value is not None
                  else (float("inf") if self.minimize else float("-inf")))
-        self._write(LAST_NAME, self._payload(state, epoch, value,
-                                             with_opt=True))
+        payload = self._payload(state, epoch, value, with_opt=True)
+        if batch_cursor:
+            payload["batch_cursor"] = np.asarray(int(batch_cursor))
+        self._write(LAST_NAME, payload)
 
     def restore(self, name: str = LAST_NAME) -> Dict[str, Any]:
         path = os.path.join(self.save_dir, name)

@@ -92,19 +92,32 @@ class Engine:
         self.val_step = 0
         self._eval_cache: Dict[Tuple, Callable] = {}
         self._wire_resolved: Optional[str] = None
+        # batch index where the last train_epoch stopped early (graceful
+        # preemption), or None when it ran to completion
+        self.last_epoch_stop: Optional[int] = None
 
     # ------------------------------------------------------------------ train
 
     def train_epoch(self, state: TrainState, loader, epoch: int,
                     rng: Array, should_stop: Optional[Callable[[], bool]]
-                    = None) -> Tuple[TrainState, Dict[str, AverageMeter]]:
+                    = None, start_batch: int = 0,
+                    ) -> Tuple[TrainState, Dict[str, AverageMeter]]:
         """One epoch (engine.py:65-161): batch loop → jitted step → meters.
 
         ``should_stop``: polled per batch (graceful preemption) — when it
-        turns true the epoch ends early with the meters so far. Only safe
-        on single-process runs (multi-host stops at epoch consensus,
-        cli/main_train.py)."""
+        turns true the epoch ends early with the meters so far; the stop
+        index is left in :attr:`last_epoch_stop` (None when the epoch ran
+        to completion) so the caller can checkpoint an exact mid-epoch
+        cursor. Only safe on single-process runs (multi-host stops at
+        epoch consensus, cli/main_train.py).
+
+        ``start_batch``: resume a preempted epoch from this batch index —
+        the loader's deterministic per-epoch shuffle replays the same
+        order, the first ``start_batch`` batches are skipped (their host
+        preprocessing is still paid once), and ``global_step``-folded rng
+        lines up with the uninterrupted run."""
         cfg = self.cfg
+        self.last_epoch_stop: Optional[int] = None
         loader.set_epoch(epoch)
         batch_time = AverageMeter("time", ":6.3f")
         data_time = AverageMeter("data", ":6.3f")
@@ -119,9 +132,13 @@ class Engine:
                                  prefix=f"Epoch: [{epoch}]")
         t0 = time.time()
         for i, batch in enumerate(loader):
+            if i < start_batch:
+                t0 = time.time()
+                continue
             if should_stop is not None and should_stop():
                 logger.info("train_epoch: stop requested at step %d/%d",
                             i, len(loader))
+                self.last_epoch_stop = i
                 break
             img = self._put_batch(batch["img"])
             target: Any = self._put_batch(batch["seg"])
@@ -146,8 +163,11 @@ class Engine:
                                    [losses, gnorms], step_mode="train_step")
         self.tb.log_meters(epoch, [losses], step_mode="train_epoch")
         # SWA (engine.py:151-159); swa active iff swa_start truthy
-        # (reference main_train.py:113 `if args.swa_start`)
-        if cfg.swa_start and epoch >= cfg.swa_start:
+        # (reference main_train.py:113 `if args.swa_start`). A preempted
+        # partial epoch must NOT contribute to the SWA average — the epoch
+        # replays on resume and would be double-counted.
+        if cfg.swa_start and epoch >= cfg.swa_start \
+                and self.last_epoch_stop is None:
             state = swa_update(state)
         return state, {"loss": losses, "batch_time": batch_time,
                        "data_time": data_time}
@@ -617,12 +637,38 @@ class Engine:
             else False)
         # STAPLE member striping: a homogeneous ensemble's members forward
         # together, the member stack sharded over 'data' (serial fallback
-        # for heterogeneous ensembles or via BRATS21_STAPLE_SERIAL)
+        # for heterogeneous ensembles or via BRATS21_STAPLE_SERIAL).
+        # Every mode decision is LOGGED — no silent fallbacks (VERDICT
+        # round-2 #8).
         member_stack = None
-        if (perform_staple and not use_tta and not sliding
-                and n_dev > 1 and len(members) > 1
-                and not os.environ.get("BRATS21_STAPLE_SERIAL")):
-            member_stack = self._stack_members(members)
+        if perform_staple and len(members) > 1:
+            if use_tta or sliding:
+                logger.info(
+                    "STAPLE×%s: members run serially, the mesh "
+                    "parallelises %s within each member",
+                    "TTA" if use_tta else "sliding-window",
+                    "the 16 TTA combos" if use_tta else "the window grid")
+            elif n_dev > 1 and os.environ.get("BRATS21_STAPLE_SERIAL"):
+                logger.info("BRATS21_STAPLE_SERIAL=1: STAPLE members run "
+                            "serially by request")
+            elif n_dev > 1:
+                member_stack = self._stack_members(members)
+                if member_stack is None:
+                    logger.info(
+                        "STAPLE ensemble mixes architectures/param shapes: "
+                        "member striping needs a homogeneous stack — "
+                        "falling back to the serial member loop")
+                elif jax.process_count() > 1:
+                    logger.info(
+                        "multi-host STAPLE: %d members stripe over the %d "
+                        "process-LOCAL devices on each host (striping does "
+                        "not span processes; cases already stripe across "
+                        "hosts)", len(members), n_dev)
+        if member_stack is not None and len(members) > n_dev:
+            logger.info(
+                "STAPLE: %d members > %d devices — each device forwards "
+                "ceil(%d/%d) members in sequence inside the striped jit",
+                len(members), n_dev, len(members), n_dev)
 
         n_cases = len(loader)
         done = 0
