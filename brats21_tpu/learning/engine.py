@@ -130,6 +130,29 @@ class Engine:
             meters.append(dice_meter)
         progress = ProgressMeter(len(loader), meters,
                                  prefix=f"Epoch: [{epoch}]")
+        # Deferred metric collection = device-side double buffering: batch
+        # N+1's H2D is dispatched BEFORE step N's metrics are forced back
+        # (float() is the only sync point), so the transfer streams while
+        # the device still computes step N. The reference blocks on a
+        # synchronous .cuda() per batch (engine.py:88-90); SURVEY §2.10
+        # plans exactly this async host→device feed.
+        pending: Optional[Tuple] = None
+        t_done = time.time()
+
+        def collect(entry) -> None:
+            nonlocal t_done
+            metrics, n, i = entry
+            losses.update(float(metrics["loss"]), n=n)   # syncs step i
+            gnorms.update(float(metrics["grad_norm"]))
+            if dice_meter is not None and "dice" in metrics:
+                dice_meter.update(np.asarray(metrics["dice"]))
+            batch_time.update(time.time() - t_done)
+            t_done = time.time()
+            if (i + 1) % cfg.log_train_interval == 0 or (i + 1) == len(loader):
+                progress.display(i + 1)
+                self.tb.log_meters(self.global_step,
+                                   [losses, gnorms], step_mode="train_step")
+
         t0 = time.time()
         for i, batch in enumerate(loader):
             if i < start_batch:
@@ -140,27 +163,24 @@ class Engine:
                             i, len(loader))
                 self.last_epoch_stop = i
                 break
-            img = self._put_batch(batch["img"])
-            target: Any = self._put_batch(batch["seg"])
+            img = self._put_batch(self._train_wire_img(batch["img"]))
+            target: Any = self._put_batch(
+                self._train_wire_seg(batch["seg"]))
+            if target.dtype == jnp.uint8:
+                target = target.astype(jnp.float32)      # device-side
             if "boundary" in cfg.criterion:
                 target = (target, self._put_batch(batch["distance_map"]))
             data_time.update(time.time() - t0)
+            if pending is not None:
+                collect(pending)   # step i-1 computes/streams meanwhile
 
             step_rng = jax.random.fold_in(rng, self.global_step)
             state, metrics = self.train_step_fn(state, img, target, step_rng)
             self.global_step += 1
-
-            losses.update(float(metrics["loss"]), n=batch["img"].shape[0])
-            gnorms.update(float(metrics["grad_norm"]))
-            if dice_meter is not None and "dice" in metrics:
-                dice_meter.update(np.asarray(metrics["dice"]))
-            batch_time.update(time.time() - t0)
+            pending = (metrics, batch["img"].shape[0], i)
             t0 = time.time()
-
-            if (i + 1) % cfg.log_train_interval == 0 or (i + 1) == len(loader):
-                progress.display(i + 1)
-                self.tb.log_meters(self.global_step,
-                                   [losses, gnorms], step_mode="train_step")
+        if pending is not None:
+            collect(pending)
         self.tb.log_meters(epoch, [losses], step_mode="train_epoch")
         # SWA (engine.py:151-159); swa active iff swa_start truthy
         # (reference main_train.py:113 `if args.swa_start`). A preempted
@@ -171,6 +191,24 @@ class Engine:
             state = swa_update(state)
         return state, {"loss": losses, "batch_time": batch_time,
                        "data_time": data_time}
+
+    def _train_wire_img(self, arr: np.ndarray) -> np.ndarray:
+        """Training images cross the wire as fp16 under amp (the step
+        casts to bf16 anyway; fp16 keeps 3 more mantissa bits than bf16,
+        so the double rounding is ulp-bounded) — half the H2D bytes on
+        the per-batch transfer the reference pays in fp32 (engine.py:
+        88-90). no_amp (fp32 compute) keeps the fp32 wire exactly.
+        BRATS21_TRAIN_WIRE=fp32 opts out."""
+        if self.cfg.no_amp or os.environ.get("BRATS21_TRAIN_WIRE") == "fp32":
+            return arr
+        return arr.astype(np.float16)
+
+    def _train_wire_seg(self, arr: np.ndarray) -> np.ndarray:
+        """Binary one-hot targets cross as uint8 (4× fewer bytes, exact);
+        train_epoch casts back to fp32 on device."""
+        if os.environ.get("BRATS21_TRAIN_WIRE") == "fp32":
+            return arr
+        return arr.astype(np.uint8)
 
     def _put_batch(self, arr: np.ndarray, mesh=None) -> Array:
         """Shard the batch axis over the mesh's 'data' axis when divisible,

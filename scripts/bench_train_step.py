@@ -1,95 +1,130 @@
-"""TPU train-step decomposition: forward / grad / optimizer / full step,
-per remat mode, at the BENCHMARKS.md config (equiunet_assp_evo w48, 128³
-patch, Ranger+GC, bf16 activations, dice).
+"""Data-inclusive train-step timing on the real accelerator (VERDICT r2 #3).
+
+Measures three numbers for the flagship training config (EquiUnetASSPEvo,
+patch 128³, ranger, bf16 activations, --remat_mode norm):
+
+  1. device-resident step (batch already in HBM)  — the BENCHMARKS baseline
+  2. step incl. H2D, fp32 wire, synchronous      — the reference's per-batch
+     .cuda() pattern (engine.py:88-90)
+  3. step incl. H2D through Engine.train_epoch   — the product path: fp16
+     img + uint8 seg wire, H2D/compute double buffering
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_train_step.py
-
-Every timing forced by scalar D2H (axon relay ignores block_until_ready).
+Env:  BENCH_WIDTH (48), BENCH_PATCH (128), BENCH_STEPS (10), BENCH_BATCHES
 """
+
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/brats21_jax_cache")
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from brats21_tpu.config import TrainConfig
-from brats21_tpu.learning.losses import make_criterion, deep_supervision_loss
-from brats21_tpu.learning.optimizers import make_optimizer
-from brats21_tpu.learning.train_state import create_train_state, make_train_step
-from brats21_tpu.models import get_model
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/brats21_jax_cache")
 
-REPS = int(os.environ.get("REPS", "10"))
-MODES = os.environ.get("MODES", "norm,block,none").split(",")
-PATCH = int(os.environ.get("PATCH", "128"))
-WIDTH = int(os.environ.get("WIDTH", "48"))
+WIDTH = int(os.environ.get("BENCH_WIDTH", "48"))
+PATCH = int(os.environ.get("BENCH_PATCH", "128"))
+N_STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 
 
-def timeit(fn, *args, label=""):
-    t0 = time.time()
-    out = fn(*args)
-    first = float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).ravel()[:1]))
-    print(f"  {label} compile+1st: {time.time() - t0:.1f}s", flush=True)
-    t0 = time.time()
-    for _ in range(REPS):
-        out = fn(*args)
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).ravel()[:1]))
-    dt = (time.time() - t0) / REPS
-    print(f"  {label}: {dt*1e3:8.1f} ms", flush=True)
-    return dt
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
-    print(f"devices={jax.devices()} patch={PATCH} width={WIDTH}", flush=True)
+    import jax
+    import jax.numpy as jnp
+
+    from brats21_tpu.config import TrainConfig
+    from brats21_tpu.learning.engine import Engine
+    from brats21_tpu.learning.losses import make_criterion
+    from brats21_tpu.learning.optimizers import make_optimizer
+    from brats21_tpu.learning.train_state import create_train_state
+    from brats21_tpu.models import get_model
+    from brats21_tpu.parallel.mesh import local_mesh
+
+    cfg = TrainConfig(model="equiunet_assp_evo", width=WIDTH,
+                      criterion="jaccard", optimizer="ranger",
+                      patch_size=[PATCH] * 3, remat_mode="norm",
+                      epochs=10, weight_decay=0.0)
+    model = get_model(cfg)
+    criterion = make_criterion(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=N_STEPS)
     rng = jax.random.PRNGKey(0)
-    img = jax.random.normal(rng, (1, PATCH, PATCH, PATCH, 4), jnp.float32)
-    seg = (jax.random.uniform(rng, (1, PATCH, PATCH, PATCH, 3)) > 0.7
-           ).astype(jnp.float32)
+    r = np.random.default_rng(0)
 
-    for mode in MODES:
-        print(f"== remat_mode={mode}", flush=True)
-        cfg = TrainConfig(model="equiunet_assp_evo", width=WIDTH,
-                          criterion="dice", optimizer="ranger", use_gc=True,
-                          remat_mode=mode)
-        model = get_model(cfg)
-        criterion = make_criterion(cfg)
-        tx = make_optimizer(cfg, steps_per_epoch=100)
-        state = create_train_state(model, tx, rng,
-                                   np.zeros((1, 16, 16, 16, 4), np.float32))
-        step = make_train_step(criterion, use_amp=True)
+    shape = (1, PATCH, PATCH, PATCH, 4)
+    # distinct host buffers per step so no transfer caching hides IO
+    imgs = [np.clip(r.standard_normal(shape), -3, 3).astype(np.float32)
+            for _ in range(N_STEPS)]
+    segs = [(r.random((1, PATCH, PATCH, PATCH, 3)) > 0.7).astype(np.float32)
+            for _ in range(N_STEPS)]
+    wire_mb = (imgs[0].astype(np.float16).nbytes + segs[0].astype(np.uint8)
+               .nbytes) / 1e6
+    full_mb = (imgs[0].nbytes + segs[0].nbytes) / 1e6
+    log(f"devices={jax.devices()} patch={PATCH} width={WIDTH} "
+        f"wire={wire_mb:.1f}MB (fp32 {full_mb:.1f}MB)")
 
-        @jax.jit
-        def fwd_loss(params, x, y):
-            out = model.apply({"params": params},
-                              x.astype(jnp.bfloat16), deterministic=True)
-            return deep_supervision_loss(criterion, out, y)
+    engine = Engine(cfg, model, criterion, mesh=local_mesh())
+    state = create_train_state(model, tx, rng, imgs[0])
 
-        @jax.jit
-        def grad_only(params, x, y):
-            return jax.grad(fwd_loss)(params, x, y)
+    # ---- 1. device-resident
+    img_dev = jnp.asarray(imgs[0].astype(np.float16))
+    seg_dev = jnp.asarray(segs[0])
+    t0 = time.time()
+    state, m = engine.train_step_fn(state, img_dev, seg_dev, rng)
+    float(m["loss"])
+    log(f"compile+first step: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    for _ in range(N_STEPS):
+        state, m = engine.train_step_fn(state, img_dev, seg_dev, rng)
+        float(m["loss"])
+    dev_ms = (time.time() - t0) / N_STEPS * 1e3
+    log(f"device-resident: {dev_ms:.1f} ms/step")
 
-        @jax.jit
-        def opt_only(state, grads):
-            ups, opt_state = state.tx.update(grads, state.opt_state,
-                                             state.params)
-            import optax
-            return optax.apply_updates(state.params, ups), opt_state
+    # ---- 2. synchronous fp32 wire (reference per-batch .cuda() analog)
+    t0 = time.time()
+    for i in range(N_STEPS):
+        img_d = jnp.asarray(imgs[i])
+        seg_d = jnp.asarray(segs[i])
+        state, m = engine.train_step_fn(state, img_d.astype(jnp.float16),
+                                        seg_d, rng)
+        float(m["loss"])
+    sync_ms = (time.time() - t0) / N_STEPS * 1e3
+    log(f"fp32 wire, synchronous: {sync_ms:.1f} ms/step")
 
-        try:
-            timeit(fwd_loss, state.params, img, seg, label="fwd+loss   ")
-            g = grad_only(state.params, img, seg)
-            timeit(grad_only, state.params, img, seg, label="fwd+bwd    ")
-            timeit(opt_only, state, g, label="optimizer  ")
-            timeit(lambda s=state: step(s, img, seg, rng)[0].params,
-                   label="full step  ")
-        except Exception as e:
-            print(f"  FAILED: {type(e).__name__}: {str(e)[:400]}", flush=True)
+    # ---- 3. the product path: Engine.train_epoch (compact wire + double
+    # buffering + the loader's host-side prefetch threads)
+    class _Loader:
+        def __len__(self):
+            return N_STEPS
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __iter__(self):
+            return iter({"img": im, "seg": sg}
+                        for im, sg in zip(imgs, segs))
+
+    cfg.log_train_interval = 10 ** 6
+    state, _ = engine.train_epoch(state, _Loader(), 1, rng)   # warm
+    t0 = time.time()
+    state, meters = engine.train_epoch(state, _Loader(), 2, rng)
+    epoch_ms = (time.time() - t0) / N_STEPS * 1e3
+    log(f"train_epoch (compact wire + double buffer): {epoch_ms:.1f} ms/step")
+
+    print(json.dumps({
+        "metric": f"train_step_w{WIDTH}_p{PATCH}",
+        "device_resident_ms": round(dev_ms, 1),
+        "sync_fp32_wire_ms": round(sync_ms, 1),
+        "pipelined_compact_wire_ms": round(epoch_ms, 1),
+        "wire_mb": round(wire_mb, 1),
+        "overhead_vs_resident": round(epoch_ms / dev_ms, 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -181,6 +181,63 @@ def test_eval_pipeline_depth_invariant(eval_setup, tmp_path, monkeypatch):
     _assert_same(d1, d3)
 
 
+def test_train_wire_parity(rng, monkeypatch):
+    """The compact train wire (fp16 img under amp, uint8 one-hot targets)
+    vs BRATS21_TRAIN_WIRE=fp32 through Engine.train_epoch: bit-identical
+    under no_amp (wire is exact there), allclose under amp (fp16 keeps
+    more mantissa than the bf16 the step casts to anyway)."""
+    import jax.numpy as jnp
+    import optax
+
+    from brats21_tpu.learning.optimizers import make_optimizer
+    from brats21_tpu.learning.train_state import create_train_state
+
+    imgs = rng.random((3, 1, 16, 16, 16, 4)).astype(np.float32)
+    segs = (rng.random((3, 1, 16, 16, 16, 3)) > 0.6).astype(np.float32)
+
+    class _TrainLoader:
+        def __len__(self):
+            return 3
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __iter__(self):
+            return iter({"img": im, "seg": sg} for im, sg in zip(imgs, segs))
+
+    def run(wire_env, no_amp):
+        if wire_env:
+            monkeypatch.setenv("BRATS21_TRAIN_WIRE", wire_env)
+        else:
+            monkeypatch.delenv("BRATS21_TRAIN_WIRE", raising=False)
+        cfg = TrainConfig(model="equiunet", width=4, criterion="dice",
+                          optimizer="adam", no_amp=no_amp, epochs=1,
+                          weight_decay=0.0)
+        model = get_model(cfg)
+        mesh = make_mesh(jax.devices()[:1], data=1, space=1)
+        engine = Engine(cfg, model, make_criterion(cfg), mesh=mesh)
+        tx = make_optimizer(cfg, steps_per_epoch=3)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.asarray(imgs[0]))
+        state, _ = engine.train_epoch(state, _TrainLoader(), 1,
+                                      jax.random.PRNGKey(1))
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    for no_amp, exact in ((True, True), (False, False)):
+        compact = run(None, no_amp)
+        full = run("fp32", no_amp)
+        for a, b in zip(jax.tree_util.tree_leaves(compact),
+                        jax.tree_util.tree_leaves(full)):
+            if exact:
+                np.testing.assert_array_equal(a, b)
+            else:
+                # fp16 rounds at 2^-11 where bf16 rounds at 2^-8; the
+                # double rounding flips rare ties, and adam's m/√v
+                # normalization amplifies any input ulp to O(lr) within a
+                # few steps — bounded-drift, not bitwise, is the contract
+                np.testing.assert_allclose(a, b, atol=1e-3)
+
+
 def test_eval_sparse_wire_staple_and_post(eval_setup, tmp_path, monkeypatch):
     """The seal/pack path composes with STAPLE fusion and the CC-cleanup
     post chain (both produce binary multichannel output)."""
