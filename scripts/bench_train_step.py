@@ -72,33 +72,13 @@ def main():
     engine = Engine(cfg, model, criterion, mesh=local_mesh())
     state = create_train_state(model, tx, rng, imgs[0])
 
-    # ---- 1. device-resident
     img_dev = jnp.asarray(imgs[0].astype(np.float16))
     seg_dev = jnp.asarray(segs[0])
     t0 = time.time()
     state, m = engine.train_step_fn(state, img_dev, seg_dev, rng)
     float(m["loss"])
     log(f"compile+first step: {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for _ in range(N_STEPS):
-        state, m = engine.train_step_fn(state, img_dev, seg_dev, rng)
-        float(m["loss"])
-    dev_ms = (time.time() - t0) / N_STEPS * 1e3
-    log(f"device-resident: {dev_ms:.1f} ms/step")
 
-    # ---- 2. synchronous fp32 wire (reference per-batch .cuda() analog)
-    t0 = time.time()
-    for i in range(N_STEPS):
-        img_d = jnp.asarray(imgs[i])
-        seg_d = jnp.asarray(segs[i])
-        state, m = engine.train_step_fn(state, img_d.astype(jnp.float16),
-                                        seg_d, rng)
-        float(m["loss"])
-    sync_ms = (time.time() - t0) / N_STEPS * 1e3
-    log(f"fp32 wire, synchronous: {sync_ms:.1f} ms/step")
-
-    # ---- 3. the product path: Engine.train_epoch (compact wire + double
-    # buffering + the loader's host-side prefetch threads)
     class _Loader:
         def __len__(self):
             return N_STEPS
@@ -111,12 +91,49 @@ def main():
                         for im, sg in zip(imgs, segs))
 
     cfg.log_train_interval = 10 ** 6
-    state, _ = engine.train_epoch(state, _Loader(), 1, rng)   # warm
-    t0 = time.time()
-    state, meters = engine.train_epoch(state, _Loader(), 2, rng)
-    epoch_ms = (time.time() - t0) / N_STEPS * 1e3
-    log(f"train_epoch (compact wire + double buffer): {epoch_ms:.1f} ms/step")
 
+    def run_resident():
+        nonlocal state
+        t0 = time.time()
+        for _ in range(N_STEPS):
+            state, m = engine.train_step_fn(state, img_dev, seg_dev, rng)
+            float(m["loss"])
+        return (time.time() - t0) / N_STEPS * 1e3
+
+    def run_sync_fp32():
+        nonlocal state
+        t0 = time.time()
+        for i in range(N_STEPS):
+            img_d = jnp.asarray(imgs[i])           # fp32 over the wire
+            seg_d = jnp.asarray(segs[i])
+            state, m = engine.train_step_fn(
+                state, img_d.astype(jnp.float16), seg_d, rng)
+            float(m["loss"])
+        return (time.time() - t0) / N_STEPS * 1e3
+
+    def run_epoch():
+        nonlocal state
+        t0 = time.time()
+        state, _ = engine.train_epoch(state, _Loader(), 2, rng)
+        return (time.time() - t0) / N_STEPS * 1e3
+
+    # the relay bandwidth drifts several× over minutes — interleave the
+    # three variants per chunk and take per-variant medians so they see
+    # the same link conditions (same rationale as bench.py's
+    # median-of-chunks)
+    state, _ = engine.train_epoch(state, _Loader(), 1, rng)   # warm path
+    chunks = {"resident": [], "sync_fp32": [], "pipelined": []}
+    for ci in range(int(os.environ.get("BENCH_CHUNKS", "4"))):
+        chunks["resident"].append(run_resident())
+        chunks["sync_fp32"].append(run_sync_fp32())
+        chunks["pipelined"].append(run_epoch())
+        log(f"chunk {ci}: resident {chunks['resident'][-1]:.0f} | "
+            f"sync_fp32 {chunks['sync_fp32'][-1]:.0f} | "
+            f"pipelined {chunks['pipelined'][-1]:.0f} ms/step")
+
+    dev_ms = float(np.median(chunks["resident"]))
+    sync_ms = float(np.median(chunks["sync_fp32"]))
+    epoch_ms = float(np.median(chunks["pipelined"]))
     print(json.dumps({
         "metric": f"train_step_w{WIDTH}_p{PATCH}",
         "device_resident_ms": round(dev_ms, 1),
