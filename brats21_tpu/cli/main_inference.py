@@ -139,19 +139,20 @@ def main(argv=None) -> None:
         autosave_dir=cfg0.save_path,
         name=(base_name if primary else
               f"{base_name}.proc{jax.process_index()}"))
-    if loader is not None and len(loader):
+    out_dir = os.path.join(cfg0.save_path,
+                           f"Inference_segmentations_{cfg0.on}")
+    if not watch and loader is not None and len(loader):
         engine.evaluate(
             members, loader, 0,
             use_tta=bool(cfg0.tta),
             save_seg=True,
-            output_path=os.path.join(cfg0.save_path,
-                                     f"Inference_segmentations_{cfg0.on}"),
+            output_path=out_dir,
             perform_staple=bool(cfg0.perform_staple),
             staple_threshold=cfg0.staple_threshold,
             post_kwargs=post_kwargs_from_cfg(cfg0),
             report=report if cfg0.on in ("val", "train") else None,
             step_mode=f"metric_{cfg0.on}")
-    if distributed:
+    if distributed and not watch:
         from ..parallel.multihost import merge_report_rows
         merge_report_rows(report)  # collective: every process joins
     if cfg0.on in ("val", "train") and primary:
@@ -166,10 +167,13 @@ def main(argv=None) -> None:
         # The reference's closest analog is the one-shot Docker batch
         # entrypoint (Dockerfile / README.md:134-170); this is its
         # persistent TPU-serving extension.
+        from ..data.nifti import read_nifti
         from ..data.pipeline import discover_test_records, make_records_loader
-        # seen = the pre-eval snapshot: cases that landed DURING the
-        # initial pass are new to every process's first poll
-        seen = {r["patient_id"] for r in (initial_records or [])}
+        # seen = successfully segmented or permanently quarantined; the
+        # initial snapshot goes through the SAME guarded path as poll
+        # batches, so a corrupt case already on disk at startup cannot
+        # crash-loop the server before the watch loop begins
+        seen: set = set()
         # poison cases get bounded retries before a permanent quarantine
         # (a corrupt upload may be re-uploaded correctly; a truly broken
         # case must not crash-loop forever)
@@ -180,15 +184,40 @@ def main(argv=None) -> None:
             engine.evaluate(
                 members, make_records_loader(recs, cfg0), 0,
                 use_tta=bool(cfg0.tta), save_seg=True,
-                output_path=os.path.join(
-                    cfg0.save_path, f"Inference_segmentations_{cfg0.on}"),
+                output_path=out_dir,
                 perform_staple=bool(cfg0.perform_staple),
                 staple_threshold=cfg0.staple_threshold,
                 post_kwargs=post_kwargs_from_cfg(cfg0),
                 step_mode=f"metric_{cfg0.on}")
 
-        def quarantine(rec) -> None:
+        def seg_saved(rec) -> bool:
             pid_ = rec["patient_id"]
+            d = (os.path.join(out_dir, pid_)
+                 if getattr(cfg0, "create_patient_dir", False) else out_dir)
+            return os.path.exists(os.path.join(d, f"{pid_}.nii.gz"))
+
+        def decodes_cleanly(rec) -> bool:
+            try:
+                for p in rec["img"]:
+                    read_nifti(p)
+                return True
+            except Exception:  # noqa: BLE001
+                return False
+
+        def quarantine(rec, infra_healthy: bool) -> None:
+            pid_ = rec["patient_id"]
+            # only charge a poison attempt when the failure is plausibly
+            # the case's fault: its files fail a host-side decode, or the
+            # infrastructure demonstrably worked for a sibling case this
+            # poll. A relay/mount outage spanning several polls must NOT
+            # consume attempts and permanently drop healthy cases.
+            if not infra_healthy and decodes_cleanly(rec):
+                logger.warning(
+                    "watch: case %s failed but decodes cleanly and no "
+                    "sibling case succeeded — treating as transient "
+                    "infrastructure failure, will retry next poll "
+                    "(no attempt charged)", pid_)
+                return
             attempts[pid_] = attempts.get(pid_, 0) + 1
             if attempts[pid_] >= max_attempts:
                 seen.add(pid_)   # permanent: stop rediscovering it
@@ -201,6 +230,48 @@ def main(argv=None) -> None:
                     "watch: case %s failed (attempt %d/%d) — will retry "
                     "next poll", pid_, attempts[pid_], max_attempts)
 
+        def mark_done(rec) -> None:
+            seen.add(rec["patient_id"])
+            attempts.pop(rec["patient_id"], None)
+
+        def segment_batch(records) -> None:
+            """Batch-first for throughput; on failure isolate per case so
+            one corrupt upload cannot discard its poll siblings
+            (VERDICT r2 #6)."""
+            t0 = time.time()
+            try:
+                segment(records)
+                for rec in records:
+                    mark_done(rec)
+                logger.info("watch: segmented %d case(s) in %.2fs",
+                            len(records), time.time() - t0)
+                return
+            except Exception:  # noqa: BLE001 — isolate the poison
+                logger.exception(
+                    "watch: batch of %d case(s) failed — isolating "
+                    "per case", len(records))
+            failures = []
+            infra_healthy = False   # a sibling actually segmented OK
+            for rec in records:
+                if seg_saved(rec):
+                    # the failed batch (or a previous server run) already
+                    # completed and saved this case — don't re-pay the
+                    # full ensemble/TTA forward for it
+                    logger.info("watch: case %s already segmented on "
+                                "disk — skipping", rec["patient_id"])
+                    mark_done(rec)
+                    continue
+                try:
+                    segment([rec])
+                    mark_done(rec)
+                    infra_healthy = True
+                except Exception:  # noqa: BLE001
+                    failures.append(rec)
+            for rec in failures:
+                quarantine(rec, infra_healthy)
+
+        if my_records:
+            segment_batch(my_records)
         logger.info("watch mode: serving %s every %.1fs (%d case(s) done)",
                     cfg0.test_data_path, cfg0.watch_interval, len(seen))
         stop_file = cfg0.watch_stop_file
@@ -212,29 +283,8 @@ def main(argv=None) -> None:
                     # hiccup) — the server must outlive it (ADVICE r2 #3)
                     records = [r for r in discover_test_records(cfg0)
                                if r["patient_id"] not in seen and owns(r)]
-                    if not records:
-                        continue
-                    t0 = time.time()
-                    try:
-                        segment(records)
-                        seen.update(r["patient_id"] for r in records)
-                        logger.info(
-                            "watch: segmented %d new case(s) in %.2fs",
-                            len(records), time.time() - t0)
-                    except Exception:  # noqa: BLE001 — isolate the poison
-                        # one corrupt upload must not discard the healthy
-                        # cases sharing its poll: re-run each individually,
-                        # quarantine only the failures (VERDICT r2 #6)
-                        logger.exception(
-                            "watch: batch of %d case(s) failed — "
-                            "isolating per case", len(records))
-                        for rec in records:
-                            try:
-                                segment([rec])
-                                seen.add(rec["patient_id"])
-                                attempts.pop(rec["patient_id"], None)
-                            except Exception:  # noqa: BLE001
-                                quarantine(rec)
+                    if records:
+                        segment_batch(records)
                 except Exception:  # noqa: BLE001 — the server must survive
                     logger.exception(
                         "watch: poll failed — retrying next interval")

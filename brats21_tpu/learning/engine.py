@@ -46,23 +46,29 @@ _WIRE_PROBE_MBPS: Dict[str, float] = {}
 
 
 def probe_wire_bandwidth() -> float:
-    """Measured H2D MB/s of an 8 MB buffer to the default device, best of
-    two tries (the first pays dispatch warmup). ``block_until_ready`` does
-    not synchronize through remote-device relays (axon), so a tiny D2H
-    read of a slice is what forces the transfer to complete."""
+    """Measured H2D MB/s of an 8 MB buffer to the default device: median
+    of five timed transfers after one untimed warmup (dispatch+layout).
+    The relay link fluctuates several-fold sample-to-sample (CLAUDE.md's
+    8× note), so a best-of estimate would lock wire='dense' on one lucky
+    burst — the median is the repo-wide practice (bench.py
+    median-of-chunks). ``block_until_ready`` does not synchronize through
+    remote-device relays (axon), so a tiny D2H read of a slice is what
+    forces each transfer to complete."""
     import jax.numpy as _jnp
     backend = jax.default_backend()
     if backend in _WIRE_PROBE_MBPS:
         return _WIRE_PROBE_MBPS[backend]
     buf = np.zeros((4 * 1024 * 1024,), np.float16)   # 8 MB
-    best = 0.0
-    for _ in range(2):
+    samples = []
+    for i in range(6):
         t0 = time.time()
         dev = _jnp.asarray(buf)
         np.asarray(dev[:8])
-        best = max(best, buf.nbytes / 1e6 / max(time.time() - t0, 1e-9))
-    _WIRE_PROBE_MBPS[backend] = best
-    return best
+        if i > 0:   # first transfer pays warmup
+            samples.append(buf.nbytes / 1e6 / max(time.time() - t0, 1e-9))
+    med = float(np.median(samples))
+    _WIRE_PROBE_MBPS[backend] = med
+    return med
 
 
 class Engine:
@@ -186,7 +192,7 @@ class Engine:
         # (reference main_train.py:113 `if args.swa_start`). A preempted
         # partial epoch must NOT contribute to the SWA average — the epoch
         # replays on resume and would be double-counted.
-        if cfg.swa_start and epoch >= cfg.swa_start \
+        if cfg.swa_start and epoch > cfg.swa_start \
                 and self.last_epoch_stop is None:
             state = swa_update(state)
         return state, {"loss": losses, "batch_time": batch_time,

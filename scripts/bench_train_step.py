@@ -10,7 +10,7 @@ patch 128³, ranger, bf16 activations, --remat_mode norm):
      img + uint8 seg wire, H2D/compute double buffering
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_train_step.py
-Env:  BENCH_WIDTH (48), BENCH_PATCH (128), BENCH_STEPS (10), BENCH_BATCHES
+Env:  BENCH_WIDTH (48), BENCH_PATCH (128), BENCH_STEPS (10), BENCH_CHUNKS (4)
 """
 
 from __future__ import annotations

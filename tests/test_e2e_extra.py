@@ -255,6 +255,81 @@ def test_watch_mode_poison_isolation(quick_run, tmp_path, monkeypatch):
     assert segs == [f"{c}.nii.gz" for c in healthy]
 
 
+def test_watch_mode_poison_at_startup(quick_run, tmp_path, monkeypatch):
+    """A corrupt case already on disk when the server STARTS must not
+    crash the process before the watch loop begins (the old code ran the
+    initial pass unguarded and crash-looped on every restart): the
+    initial snapshot goes through the same per-case isolation, the
+    healthy sibling present at startup is segmented, and the server then
+    keeps serving cases that land later."""
+    import shutil
+    import threading
+    import time
+
+    from brats21_tpu.data.synthetic import generate_synthetic_dataset
+
+    monkeypatch.setenv("BRATS21_WATCH_MAX_ATTEMPTS", "2")
+    data = tmp_path / "watch_data"
+    data.mkdir()
+    staging = tmp_path / "staging"
+    generate_synthetic_dataset(str(staging), num_cases=3, shape=(16, 16, 16),
+                               seed=7)
+    cases = sorted(os.listdir(staging))
+    bad = cases[1]
+    with open(staging / bad / f"{bad}_t1.nii.gz", "wb") as f:
+        f.write(b"this is not a nifti")
+    # healthy case 0 AND the corrupt case are both present at startup
+    shutil.move(str(staging / cases[0]), str(data / cases[0]))
+    shutil.move(str(staging / bad), str(data / bad))
+
+    out = str(tmp_path / "watch_out")
+    stop = tmp_path / "stop_now"
+    argv = [
+        "--config", os.path.join(quick_run, "config.yaml"),
+        "--on", "test", "--input", str(data), "--output", out,
+        "--num_workers", "1",
+        "--watch", "--watch_interval", "0.3",
+        "--watch_stop_file", str(stop),
+    ]
+    t = threading.Thread(target=infer_main, args=(argv,), daemon=True)
+    t.start()
+
+    seg_dir = os.path.join(out, "Inference_segmentations_test")
+
+    def wait_for(pred, timeout=300):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.3)
+        return False
+
+    assert wait_for(lambda: os.path.exists(
+        os.path.join(seg_dir, f"{cases[0]}.nii.gz"))), \
+        "healthy startup case never segmented"
+    assert t.is_alive(), "server died on the corrupt startup case"
+    # a case landing later is still served
+    shutil.move(str(staging / cases[2]), str(data / cases[2]))
+    assert wait_for(lambda: os.path.exists(
+        os.path.join(seg_dir, f"{cases[2]}.nii.gz"))), \
+        "case landing after startup never segmented"
+
+    logfile = os.path.join(out, "logfile_inference.log")
+
+    def quarantined():
+        with open(logfile) as f:
+            return "permanently quarantined" in f.read()
+
+    assert wait_for(quarantined), \
+        "corrupt startup case never reached permanent quarantine"
+    stop.touch()
+    t.join(timeout=120)
+    assert not t.is_alive(), "watch loop did not stop on the stop file"
+    segs = sorted(os.path.basename(s)
+                  for s in glob.glob(os.path.join(seg_dir, "*.nii.gz")))
+    assert segs == sorted(f"{c}.nii.gz" for c in (cases[0], cases[2]))
+
+
 def test_sigterm_graceful_checkpoint(tmp_path, synthetic_case):
     """Preemption contract: SIGTERM mid-training writes a resumable
     last_model and exits 0 (the reference only has manual --resume)."""
