@@ -58,8 +58,10 @@ def main(argv=None) -> None:
     logger.info("devices: %s (process %d/%d)", jax.devices(),
                 jax.process_index(), jax.process_count())
     from ..utils.profiling import (enable_compilation_cache,
-                                   maybe_enable_from_env)
+                                   maybe_enable_from_env,
+                                   tune_host_allocator)
     maybe_enable_from_env()
+    tune_host_allocator()
     enable_compilation_cache(log_compiles=cfg0.verbosity >= 2)
 
     cfg = TrainConfig.from_dict(vars(cfg0))

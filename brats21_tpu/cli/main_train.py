@@ -112,8 +112,10 @@ def main(argv=None) -> None:
     logger.info("devices: %s (process %d/%d)", jax.devices(),
                 jax.process_index(), jax.process_count())
     from ..utils.profiling import (enable_compilation_cache,
-                                   maybe_enable_from_env)
+                                   maybe_enable_from_env,
+                                   tune_host_allocator)
     maybe_enable_from_env()
+    tune_host_allocator()
     enable_compilation_cache(log_compiles=cfg.verbosity >= 2)
 
     train_loader, valid_loader = make_train_val_loaders(cfg)
@@ -340,7 +342,7 @@ def main(argv=None) -> None:
                 metric_summary = {
                     f"{k}_mean": float(np.nanmean(m.avg))
                     for k, m in meters.items()
-                    if k not in ("batch_time",)}
+                    if k not in ("batch_time", "data_time")}
                 tb.log_hparams({**h_params, "tta": bool(eval_type),
                                 "swa": bool(cfg.swa_start)}, metric_summary)
     tb.close()

@@ -42,7 +42,9 @@ def main(argv=None) -> None:
     logger = set_main_logger(os.path.join(base_dir, "logfile.log"),
                              verbosity=max(cfg.verbosity, 1))
     logger.info("devices: %s", jax.devices())
-    from ..utils.profiling import enable_compilation_cache
+    from ..utils.profiling import (enable_compilation_cache,
+                                    tune_host_allocator)
+    tune_host_allocator()
     enable_compilation_cache()
 
     n_dev = len(jax.devices())

@@ -15,6 +15,8 @@ executable per bucket instead of per case.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -43,6 +45,113 @@ Array = jax.Array
 
 #: per-process cache of the measured host link bandwidth (wire="auto")
 _WIRE_PROBE_MBPS: Dict[str, float] = {}
+
+_STAGE_SENTINEL = object()
+
+
+class _IterStage:
+    """One background thread mapping ``fn`` over ``src_iter`` through a
+    bounded queue — the eval pipeline's host PREP stage (pad + wire pack)
+    runs ahead of the device dispatch instead of on its critical path.
+    Abandon-safe like data.pipeline._PrefetchIterator: a consumer that
+    stops early releases the producer via close()."""
+
+    def __init__(self, src_iter, fn: Callable[[Any], Any], depth: int = 2):
+        self._q: "queue.Queue[Any]" = queue.Queue(maxsize=max(depth, 1))
+        self._err: Optional[BaseException] = None
+        self._closed = threading.Event()
+
+        def _put(item) -> bool:
+            while not self._closed.is_set():
+                try:
+                    self._q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def run():
+            try:
+                for item in src_iter:
+                    if not _put(fn(item)):
+                        return
+            except BaseException as e:  # propagate into consumer
+                self._err = e
+            finally:
+                _put(_STAGE_SENTINEL)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def close(self) -> None:
+        self._closed.set()
+
+    def __del__(self):
+        self.close()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _STAGE_SENTINEL:
+            self.close()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class _SinkStage:
+    """One background thread draining ``fn(*args)`` submissions in order —
+    the eval pipeline's FINISH stage (metrics, report rows, NIfTI save)
+    overlaps the next case's device compute. Submission order is the
+    completion order, so meters/report rows stay deterministic. Errors
+    re-raise on the next submit() or at join()."""
+
+    def __init__(self, fn: Callable[..., None], depth: int = 4):
+        self._q: "queue.Queue[Any]" = queue.Queue(maxsize=max(depth, 1))
+        self._err: Optional[BaseException] = None
+        self._closed = threading.Event()
+
+        def run():
+            while not self._closed.is_set():
+                try:
+                    item = self._q.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                if item is _STAGE_SENTINEL:
+                    return
+                if self._err is not None:
+                    continue        # drain remaining items after an error
+                try:
+                    fn(*item)
+                except BaseException as e:
+                    self._err = e
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def submit(self, *args) -> None:
+        if self._err is not None:
+            raise self._err
+        while not self._closed.is_set():
+            try:
+                self._q.put(args, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
+    def close(self) -> None:
+        """Release the worker without draining (error paths)."""
+        self._closed.set()
+
+    def join(self) -> None:
+        """Drain everything, stop the worker, re-raise any error."""
+        self._q.put(_STAGE_SENTINEL)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
 
 
 def probe_wire_bandwidth() -> float:
@@ -536,18 +645,33 @@ class Engine:
         self._wire_resolved = mode
         return mode
 
-    def _put_case(self, padded: np.ndarray) -> Array:
+    def _pack_case_host(self, padded: np.ndarray) -> Tuple:
+        """The host half of :meth:`_put_case` — the fp16 cast (dense) or
+        sparse pack. Pure numpy, so the eval pipeline's prep stage runs it
+        in a background thread, off the device-dispatch critical path."""
+        if self._resolve_wire() == "dense":
+            return ("dense", padded.astype(np.float16))
+        from ..ops import wire
+        bits, vals = wire.pack_volume(padded.astype(np.float16))
+        return ("sparse", bits, vals)
+
+    def _put_case(self, padded: np.ndarray,
+                  wire_payload: Optional[Tuple] = None) -> Array:
         """One case to HBM for the serial eval path, fp16 over the wire.
 
         On the sparse wire (ops/wire.py; --wire / _resolve_wire) the
         transfer is the brain-masked sparse format: a packbits mask + the
         nonzero fp16 voxels — ~2× fewer wire bytes on a bbox-cropped BraTS
         case (~50% background) — reconstructed EXACTLY on device, so every
-        downstream eval fn is untouched."""
-        if self._resolve_wire() == "dense":
-            return jnp.asarray(padded.astype(np.float16))[None]
+        downstream eval fn is untouched. ``wire_payload``: the
+        :meth:`_pack_case_host` result when the prep stage already did the
+        host work."""
+        if wire_payload is None:
+            wire_payload = self._pack_case_host(padded)
+        if wire_payload[0] == "dense":
+            return jnp.asarray(wire_payload[1])[None]
         from ..ops import wire
-        bits, vals = wire.pack_volume(padded.astype(np.float16))
+        _, bits, vals = wire_payload
         fn = self._eval_cache.get("_sparse_unpack")
         if fn is None:
             fn = jax.jit(wire.unpack_volume_device,
@@ -632,6 +756,7 @@ class Engine:
         collective; skipping it deadlocks the peers."""
         return {"loss": AverageMeter("loss", ":.4e"),
                 "batch_time": AverageMeter("time", ":6.3f"),
+                "data_time": AverageMeter("data", ":6.3f"),
                 **{m: AverageMeter(m, ":.4f")
                    for m in self._wanted_metrics()}}
 
@@ -654,9 +779,14 @@ class Engine:
         metrics_wanted = self._wanted_metrics()
         losses = AverageMeter("loss", ":.4e")
         batch_time = AverageMeter("time", ":6.3f")
+        # loader wait per case — separates host decode/preprocess (the
+        # prefetch pipeline's residual, CPU-bound) from the device
+        # wire+compute path in the displayed/returned meters
+        data_time = AverageMeter("data", ":6.3f")
         metric_meters = {m: AverageMeter(m, ":.4f") for m in metrics_wanted}
         progress = ProgressMeter(len(loader),
-                                 [batch_time, losses, *metric_meters.values()],
+                                 [batch_time, data_time, losses,
+                                  *metric_meters.values()],
                                  prefix=f"Epoch Valid: [{epoch}]")
         post_kwargs = post_kwargs or {}
         sliding = bool(cfg.sliding_window_inference)
@@ -723,15 +853,26 @@ class Engine:
         depth = max(int(os.environ.get("BRATS21_EVAL_PIPELINE", "2")), 1)
         inflight: List[Dict[str, Any]] = []
 
+        def case_metrics_main(case: Dict[str, Any], fused_np: np.ndarray,
+                              loss_val: Optional[float]
+                              ) -> Optional[Dict[str, np.ndarray]]:
+            """Metric computation stays on the MAIN thread — it runs jitted
+            jax (dice/sens/spec) and jax dispatch must not race the eval
+            pipeline's own device calls from another thread."""
+            if loss_val is None:
+                return None
+            return compute_case_metrics(fused_np, case["tgt_padded"][None],
+                                        metrics_wanted)
+
         def finish_case(case: Dict[str, Any], fused_np: np.ndarray,
-                        loss_val: Optional[float], elapsed: float) -> None:
+                        loss_val: Optional[float],
+                        case_metrics: Optional[Dict[str, np.ndarray]],
+                        elapsed: float) -> None:
             nonlocal done
             done += 1
             self.val_step += 1
             if loss_val is not None:
                 losses.update(loss_val)
-                case_metrics = compute_case_metrics(
-                    fused_np, case["tgt_padded"][None], metrics_wanted)
                 for name, meter in metric_meters.items():
                     vals = case_metrics[name.title()]
                     meter.update(np.asarray(vals).ravel())
@@ -752,6 +893,11 @@ class Engine:
                 self._save_segmentation(case["batch"], fused_np[0],
                                         case["p_b"], case["p_a"],
                                         case_dir, suffix_seg_name)
+
+        # finish stage: meters/report rows/NIfTI saves (pure host numpy +
+        # IO, no jax) run in one ordered background thread so they overlap
+        # the NEXT case's device compute
+        writer = _SinkStage(finish_case, depth=4)
 
         def flush_group(cases: List[Dict[str, Any]]) -> None:
             """Run up to n_dev same-shape cases as one batch sharded over
@@ -804,9 +950,11 @@ class Engine:
                 fused = np.asarray(sealed)
             per_case = (time.time() - t_start) / k
             for i, c in enumerate(cases):
-                finish_case(c, fused[i:i + 1],
-                            float(loss_sum[i]) / len(members)
-                            if with_target else None, per_case)
+                l_val = (float(loss_sum[i]) / len(members)
+                         if with_target else None)
+                writer.submit(c, fused[i:i + 1], l_val,
+                              case_metrics_main(c, fused[i:i + 1], l_val),
+                              per_case)
 
         def dispatch(case: Dict[str, Any]) -> Dict[str, Any]:
             """Enqueue one case's full device pipeline — H2D (sparse or
@@ -814,7 +962,7 @@ class Engine:
             WITHOUT forcing anything back to the host. JAX dispatch is
             async, so the call returns while the device still computes."""
             with_target = case["tgt_padded"] is not None
-            img_dev = self._put_case(case["padded"])
+            img_dev = self._put_case(case["padded"], case.get("wire"))
             target_dev = None
             if with_target:
                 target_dev = jnp.asarray(case["tgt_padded"])[None]
@@ -880,22 +1028,23 @@ class Engine:
                 fused_np = np.asarray(entry["sealed"])
             loss_val = (float(entry["loss"]) / len(members)
                         if entry["loss"] is not None else None)
+            metrics_np = case_metrics_main(entry["case"], fused_np, loss_val)
             now = time.time()
-            finish_case(entry["case"], fused_np, loss_val, now - t_collect)
+            writer.submit(entry["case"], fused_np, loss_val, metrics_np,
+                          now - t_collect)
             t_collect = now
 
-        for batch in loader:
+        # host prep per case: pad to the bucket and — when the serial path
+        # is certain (case_parallel resolved False up-front) — the wire
+        # pack/cast, all in the prep stage's background thread
+        prepack = case_parallel is False
+
+        def prep(batch: Dict[str, Any]) -> Dict[str, Any]:
             img_np = batch["img"][0]                      # [X,Y,Z,4]
             target_np = batch.get("seg")
-
             padded, p_b, p_a = self._pad_case(img_np, use_tta, bucket,
                                               z_multiple=n_space)
             with_target = target_np is not None
-            if case_parallel is None:
-                # decided once, on the first case's shape: models whose
-                # output trees have non-batched leaves fall back to serial
-                case_parallel = self._case_parallel_supported(
-                    members, padded.shape)
             tgt_padded = (self._pad_with(target_np[0], p_b, p_a)
                           if with_target else None)
             dm = None
@@ -904,39 +1053,67 @@ class Engine:
                 dm = self._pad_with(batch["distance_map"][0], p_b, p_a)
             case = dict(batch=batch, padded=padded, p_b=p_b, p_a=p_a,
                         tgt_padded=tgt_padded, dm=dm)
+            if prepack:
+                case["wire"] = self._pack_case_host(padded)
+            return case
 
-            if case_parallel:
-                group = pending.setdefault(
-                    (padded.shape, with_target, dm is not None), [])
-                group.append(case)
-                if len(group) == n_dev:
+        prep_stage = _IterStage(iter(loader), prep, depth=depth)
+        try:
+            while True:
+                t_wait = time.time()
+                try:
+                    case = next(prep_stage)
+                except StopIteration:
+                    break
+                data_time.update(time.time() - t_wait)
+                padded = case["padded"]
+                with_target = case["tgt_padded"] is not None
+                if case_parallel is None:
+                    # decided once, on the first case's shape: models whose
+                    # output trees have non-batched leaves fall back to
+                    # serial
+                    case_parallel = self._case_parallel_supported(
+                        members, padded.shape)
+
+                if case_parallel:
+                    group = pending.setdefault(
+                        (padded.shape, with_target, case["dm"] is not None),
+                        [])
+                    group.append(case)
+                    if len(group) == n_dev:
+                        flush_group(group)
+                        group.clear()
+                    continue
+
+                # ---- serial per-case path (TTA / sliding / STAPLE /
+                # 1 device). Up to ``depth`` cases in flight
+                # (BRATS21_EVAL_PIPELINE, default 2): case N+1's H2D +
+                # forward are enqueued while case N still computes, and
+                # case N's D2H collects one case behind — the
+                # transfer/compute pipelining that produced the bench.py
+                # headline, now in the product path (the reference
+                # synchronizes per TTA member, engine.py:234-239).
+                inflight.append(dispatch(case))
+                while len(inflight) >= depth:
+                    collect(inflight.pop(0))
+
+            # drain the pipeline, then flush remaining partial shape-groups
+            # (case-parallel mode), then the finish stage
+            for entry in inflight:
+                collect(entry)
+            inflight.clear()
+            for group in pending.values():
+                if group:
                     flush_group(group)
-                    group.clear()
-                continue
-
-            # ---- serial per-case path (TTA / sliding / STAPLE / 1 device)
-            # Up to ``depth`` cases in flight (BRATS21_EVAL_PIPELINE,
-            # default 2): case N+1's H2D + forward are enqueued while case
-            # N still computes, and case N's D2H collects one case behind
-            # — the transfer/compute pipelining that produced the bench.py
-            # headline, now in the product path (the reference
-            # synchronizes per TTA member, engine.py:234-239).
-            inflight.append(dispatch(case))
-            while len(inflight) >= depth:
-                collect(inflight.pop(0))
-
-        # drain the pipeline, then flush remaining partial shape-groups
-        # (case-parallel mode)
-        for entry in inflight:
-            collect(entry)
-        inflight.clear()
-        for group in pending.values():
-            if group:
-                flush_group(group)
+            writer.join()
+        finally:
+            prep_stage.close()
+            writer.close()
 
         self.tb.log_meters(epoch, [losses, *metric_meters.values()],
                            step_mode=f"{step_mode}_epoch")
-        return {"loss": losses, "batch_time": batch_time, **metric_meters}
+        return {"loss": losses, "batch_time": batch_time,
+                "data_time": data_time, **metric_meters}
 
     def _save_segmentation(self, batch: Dict[str, Any], fused: np.ndarray,
                            p_b: np.ndarray, p_a: np.ndarray,

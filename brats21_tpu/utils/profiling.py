@@ -57,6 +57,38 @@ def maybe_enable_from_env() -> None:
         trace_server(int(port))
 
 
+def tune_host_allocator(mmap_threshold: int = 1 << 30,
+                        trim_threshold: int = 1 << 30) -> bool:
+    """Keep big freed numpy buffers on glibc's reusable heap.
+
+    glibc serves allocations above M_MMAP_THRESHOLD (default ≤32 MB) with
+    fresh ``mmap`` segments that are unmapped on free — so a volumetric
+    pipeline that allocates/frees ~150 MB of numpy arrays per case pays
+    hundreds of MB of first-touch page faults per case, forever. On
+    lazily-paged VMs (snapshot-restored Firecracker, overcommitted
+    hypervisors) those faults measure ~0.5 ms each: 11 MB/s effective
+    memcpy, turning a 0.3 s host step into 10+ s (measured,
+    docs/BENCHMARKS.md). Raising M_MMAP_THRESHOLD and M_TRIM_THRESHOLD
+    makes the heap retain and reuse the warm pages. Called by the CLI
+    entry points; BRATS21_NO_MALLOC_TUNE=1 opts out (the cost is retained
+    RSS up to the high-water mark of live big buffers)."""
+    if os.environ.get("BRATS21_NO_MALLOC_TUNE"):
+        return False
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        ok = bool(libc.mallopt(M_MMAP_THRESHOLD, int(mmap_threshold)))
+        ok = bool(libc.mallopt(M_TRIM_THRESHOLD, int(trim_threshold))) and ok
+        if ok:
+            logger.info("host allocator tuned: mmap/trim thresholds -> "
+                        "%d MB", mmap_threshold >> 20)
+        return ok
+    except Exception as e:  # pragma: no cover — non-glibc platforms
+        logger.info("host allocator tuning unavailable: %s", e)
+        return False
+
+
 DEFAULT_CACHE_DIR = "/tmp/brats21_jax_cache"
 
 

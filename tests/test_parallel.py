@@ -254,7 +254,7 @@ def test_engine_case_parallel_eval_matches_serial(mesh_name, request, rng,
     np.testing.assert_allclose(m_par["loss"].avg, m_ser["loss"].avg,
                                rtol=1e-5)
     for k in m_ser:
-        if k in ("loss", "batch_time"):
+        if k in ("loss", "batch_time", "data_time"):
             continue
         np.testing.assert_allclose(np.asarray(m_par[k].avg),
                                    np.asarray(m_ser[k].avg), atol=1e-6,
@@ -412,7 +412,7 @@ def test_engine_staple_member_striped_matches_serial(mesh, rng, monkeypatch):
     np.testing.assert_allclose(m_par["loss"].avg, m_ser["loss"].avg,
                                rtol=1e-5)
     for k in m_ser:
-        if k in ("loss", "batch_time"):
+        if k in ("loss", "batch_time", "data_time"):
             continue
         np.testing.assert_allclose(np.asarray(m_par[k].avg),
                                    np.asarray(m_ser[k].avg), atol=1e-6,
@@ -500,7 +500,7 @@ def test_engine_sparse_wire_eval_matches_dense(rng, monkeypatch):
     np.testing.assert_allclose(m_sparse["loss"].avg, m_dense["loss"].avg,
                                rtol=0, atol=0)
     for k in m_dense:
-        if k in ("loss", "batch_time"):
+        if k in ("loss", "batch_time", "data_time"):
             continue
         np.testing.assert_array_equal(np.asarray(m_sparse[k].avg),
                                       np.asarray(m_dense[k].avg))

@@ -154,7 +154,7 @@ def _assert_same(res_a, res_b):
     m_b, segs_b = res_b
     assert m_a["loss"].avg == m_b["loss"].avg
     for k in m_a:
-        if k in ("loss", "batch_time"):
+        if k in ("loss", "batch_time", "data_time"):
             continue
         np.testing.assert_array_equal(np.asarray(m_a[k].avg),
                                       np.asarray(m_b[k].avg))
