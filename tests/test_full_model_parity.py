@@ -535,3 +535,125 @@ def test_unetr_forward_matches_torch(rng):
     want = np.moveaxis(want, 1, -1)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
     assert np.abs(got - want).max() < 2e-4  # much tighter in practice
+
+
+# ---------------------------------------------------------------------------
+# SegResNet — the MONAI-backed zoo family (models/extra.py; MONAI SegResNet
+# defaults of definer.py:85-99) vs an identically-weighted torch replica:
+# GN→relu→conv residual blocks, strided-conv downs, 1×1-conv + trilinear
+# (align_corners=False) ups. Validates the zoo's shared layer stack
+# (GroupNorm, strided/1×1 convs, the custom trilinear upsample).
+# ---------------------------------------------------------------------------
+
+
+class TorchSegResBlock(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(min(8, c), c)
+        self.conv1 = tnn.Conv3d(c, c, 3, padding=1, bias=False)
+        self.norm2 = tnn.GroupNorm(min(8, c), c)
+        self.conv2 = tnn.Conv3d(c, c, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(F.relu(self.norm1(x)))
+        y = self.conv2(F.relu(self.norm2(y)))
+        return x + y
+
+
+class TorchSegResNet(tnn.Module):
+    def __init__(self, f=8, num_classes=3,
+                 blocks_down=(1, 2, 2, 4), blocks_up=(1, 1, 1)):
+        super().__init__()
+        self.blocks_down, self.blocks_up = blocks_down, blocks_up
+        self.conv_init = tnn.Conv3d(4, f, 3, padding=1, bias=False)
+        self.downs = tnn.ModuleList()
+        self.down_blocks = tnn.ModuleList()
+        for i, n in enumerate(blocks_down):
+            ch = f * 2 ** i
+            self.downs.append(
+                tnn.Conv3d(ch // 2, ch, 3, stride=2, padding=1, bias=False)
+                if i > 0 else tnn.Identity())
+            self.down_blocks.append(
+                tnn.ModuleList([TorchSegResBlock(ch) for _ in range(n)]))
+        self.up_convs = tnn.ModuleList()
+        self.up_blocks = tnn.ModuleList()
+        for i, n in enumerate(blocks_up):
+            ch = f * 2 ** (len(blocks_down) - i - 2)
+            self.up_convs.append(tnn.Conv3d(ch * 2, ch, 1, bias=False))
+            self.up_blocks.append(
+                tnn.ModuleList([TorchSegResBlock(ch) for _ in range(n)]))
+        last = f * 2 ** (len(blocks_down) - len(blocks_up) - 1)
+        self.norm_final = tnn.GroupNorm(min(8, last), last)
+        self.conv_final = tnn.Conv3d(last, num_classes, 1, bias=True)
+
+    def forward(self, x):
+        x = self.conv_init(x)
+        skips = []
+        for i in range(len(self.blocks_down)):
+            x = self.downs[i](x)
+            for blk in self.down_blocks[i]:
+                x = blk(x)
+            skips.append(x)
+        for i in range(len(self.blocks_up)):
+            x = self.up_convs[i](x)
+            x = F.interpolate(x, scale_factor=2, mode="trilinear",
+                              align_corners=False)
+            x = x + skips[len(self.blocks_down) - i - 2]
+            for blk in self.up_blocks[i]:
+                x = blk(x)
+        return self.conv_final(F.relu(self.norm_final(x)))
+
+
+def _copy_plain_conv(tconv, fparams):
+    with torch.no_grad():
+        k = np.asarray(fparams["Conv_0"]["kernel"])
+        tconv.weight.copy_(torch.from_numpy(
+            np.transpose(k, (4, 3, 0, 1, 2)).copy()))
+        if "bias" in fparams["Conv_0"]:
+            tconv.bias.copy_(torch.from_numpy(
+                np.asarray(fparams["Conv_0"]["bias"])))
+
+
+def _copy_gn(tgn, fparams):
+    with torch.no_grad():
+        tgn.weight.copy_(torch.from_numpy(np.asarray(fparams["scale"])))
+        tgn.bias.copy_(torch.from_numpy(np.asarray(fparams["bias"])))
+
+
+def _copy_segres_block(tblk, fparams):
+    _copy_gn(tblk.norm1, fparams["norm1"])
+    _copy_plain_conv(tblk.conv1, fparams["conv1"])
+    _copy_gn(tblk.norm2, fparams["norm2"])
+    _copy_plain_conv(tblk.conv2, fparams["conv2"])
+
+
+def test_segresnet_forward_matches_torch(rng):
+    """Whole-model golden #4: the MONAI-backed zoo's SegResNet. Identical
+    weights, fp32, 16³ volume, agreement < 1e-3."""
+    from brats21_tpu.models.extra import SegResNet
+
+    model = SegResNet(init_filters=8, num_classes=3)
+    x = rng.standard_normal((1, 16, 16, 16, 4)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    tm = TorchSegResNet().eval()
+    _copy_plain_conv(tm.conv_init, params["conv_init"])
+    for i, n in enumerate((1, 2, 2, 4)):
+        if i > 0:
+            _copy_plain_conv(tm.downs[i], params[f"down_{i}"])
+        for j in range(n):
+            _copy_segres_block(tm.down_blocks[i][j],
+                               params[f"down_{i}_block_{j}"])
+    for i in range(3):
+        _copy_plain_conv(tm.up_convs[i], params[f"up_conv_{i}"])
+        _copy_segres_block(tm.up_blocks[i][0], params[f"up_{i}_block_0"])
+    _copy_gn(tm.norm_final, params["norm_final"])
+    _copy_plain_conv(tm.conv_final, params["conv_final"])
+
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    want = np.moveaxis(want, 1, -1)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    assert np.abs(got - want).max() < 2e-4  # much tighter in practice
