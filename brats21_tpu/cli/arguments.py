@@ -72,6 +72,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "sparse = brain-masked packed volumes + bit-packed "
                         "fused output + transfer/compute pipelining "
                         "(ops/wire.py); auto probes link bandwidth once")
+    g.add_argument("--eval_bucket", type=int, default=8,
+                   help="pad eval volumes to multiples of this (>=8, "
+                        "multiple of 8): one XLA executable per bucket "
+                        "shape instead of per case shape; coarser buckets "
+                        "trade padded voxels for far fewer compiles")
     g.add_argument("--seed", type=int, default=123)
     g.add_argument("--fold", default=0, type=lambda x: None if x == "None" else int(x))
     g.add_argument("--device", type=str, default="0")
@@ -188,6 +193,8 @@ def build_inference_parser() -> argparse.ArgumentParser:
     g.add_argument("--wire", type=str, default="auto",
                    choices=["auto", "sparse", "dense"],
                    help="host<->device wire format (see main_train --wire)")
+    g.add_argument("--eval_bucket", type=int, default=8,
+                   help="eval shape bucket (see main_train --eval_bucket)")
     return parser
 
 

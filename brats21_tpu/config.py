@@ -118,6 +118,14 @@ class TrainConfig:
     # transfer-starved links — remote relays, networked mounts — get
     # sparse). BRATS21_SPARSE_WIRE=0/1 still force-overrides.
     wire: str = "auto"
+    # eval shape-bucket (not in the reference surface): full volumes are
+    # host-padded to multiples of this before the jitted eval, so XLA
+    # compiles one executable per BUCKET instead of per case shape. 8 is
+    # the reference-parity pad (engine.py:192); coarser buckets (e.g. 32
+    # or 64) collapse a heterogeneous dataset onto a handful of shapes —
+    # fewer (remote) compiles at the cost of extra padded voxels.
+    # BRATS21_EVAL_BUCKET still force-overrides.
+    eval_bucket: int = 8
 
     def validate(self) -> "TrainConfig":
         if self.model not in MODEL_CHOICES:
@@ -136,6 +144,9 @@ class TrainConfig:
             raise ValueError("remat_mode must be block|norm|none")
         if self.wire not in ("auto", "sparse", "dense"):
             raise ValueError("wire must be auto|sparse|dense")
+        if self.eval_bucket < 8 or self.eval_bucket % 8:
+            raise ValueError("eval_bucket must be a multiple of 8 (the "
+                             "model's downsampling factor)")
         return self
 
     # --- yaml roundtrip (config.yaml contract, main_train.py:67-69)

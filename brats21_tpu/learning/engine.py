@@ -793,7 +793,9 @@ class Engine:
         if bucket is None:
             # parity default 8 (engine.py:192); coarser buckets cut the
             # number of distinct XLA compilations across cases
-            bucket = int(os.environ.get("BRATS21_EVAL_BUCKET", "8"))
+            # (--eval_bucket; env force-override for scripts)
+            bucket = int(os.environ.get("BRATS21_EVAL_BUCKET", "0")) \
+                or int(getattr(cfg, "eval_bucket", 8) or 8)
 
         n_dev = self.eval_mesh.shape["data"]
         # case-parallel fast path: when neither TTA-parallelism nor

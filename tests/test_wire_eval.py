@@ -258,3 +258,53 @@ def test_eval_sparse_wire_staple_and_post(eval_setup, tmp_path, monkeypatch):
         return meters, _read_segs(out)
 
     _assert_same(run("dense"), run("sparse"))
+
+
+def test_eval_bucket_flag(eval_setup, tmp_path, monkeypatch):
+    """--eval_bucket N (config.eval_bucket): volumes pad to multiples of N
+    so a heterogeneous dataset compiles one executable per bucket instead
+    of per shape. The extra zero pad enters the model's normalization
+    stats exactly like the reference's own ÷8 pad, so metrics agree
+    closely (not bitwise); saved segmentations still come back at the
+    ORIGINAL case shape."""
+    cfg = eval_setup[0]
+    base = _run_eval(eval_setup, tmp_path, "b8", "dense", monkeypatch)
+    cfg.eval_bucket = 16
+    try:
+        coarse = _run_eval(eval_setup, tmp_path, "b16", "dense", monkeypatch)
+    finally:
+        cfg.eval_bucket = 8
+    assert sorted(base[1]) == sorted(coarse[1])
+    # same original-shape geometry after pad-back
+    from brats21_tpu.data.nifti import read_nifti
+    for f in sorted(os.listdir(str(tmp_path / "b16"))):
+        img = read_nifti(os.path.join(str(tmp_path / "b16"), f))
+        assert img.data.shape == (16, 16, 8)
+    for k in base[0]:
+        if k in ("loss", "batch_time", "data_time"):
+            continue
+        np.testing.assert_allclose(np.asarray(coarse[0][k].avg),
+                                   np.asarray(base[0][k].avg), atol=0.3,
+                                   err_msg=k)
+
+
+def test_eval_bucket_env_overrides_config(eval_setup, tmp_path, monkeypatch):
+    cfg = eval_setup[0]
+    cfg.eval_bucket = 16
+    monkeypatch.setenv("BRATS21_EVAL_BUCKET", "8")
+    try:
+        forced = _run_eval(eval_setup, tmp_path, "benv", "dense", monkeypatch)
+        monkeypatch.delenv("BRATS21_EVAL_BUCKET")
+        cfg.eval_bucket = 8
+        base = _run_eval(eval_setup, tmp_path, "bbase", "dense", monkeypatch)
+    finally:
+        cfg.eval_bucket = 8
+    _assert_same(forced, base)
+
+
+def test_eval_bucket_validation():
+    with pytest.raises(ValueError):
+        TrainConfig(model="equiunet", eval_bucket=12).validate()
+    with pytest.raises(ValueError):
+        TrainConfig(model="equiunet", eval_bucket=4).validate()
+    TrainConfig(model="equiunet", eval_bucket=64).validate()
