@@ -75,8 +75,12 @@ def build_train_parser() -> argparse.ArgumentParser:
     g.add_argument("--eval_bucket", type=int, default=8,
                    help="pad eval volumes to multiples of this (>=8, "
                         "multiple of 8): one XLA executable per bucket "
-                        "shape instead of per case shape; coarser buckets "
-                        "trade padded voxels for far fewer compiles")
+                        "shape instead of per case shape. Coarser buckets "
+                        "trade far fewer compiles for extra padded voxels "
+                        "AND slightly different predictions/metrics: the "
+                        "zero pad enters instance/group-norm statistics, "
+                        "exactly like the reference's own /8 pad does. "
+                        "8 = reference parity")
     g.add_argument("--seed", type=int, default=123)
     g.add_argument("--fold", default=0, type=lambda x: None if x == "None" else int(x))
     g.add_argument("--device", type=str, default="0")

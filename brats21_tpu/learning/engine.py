@@ -146,6 +146,9 @@ class _SinkStage:
         """Release the worker without draining (error paths)."""
         self._closed.set()
 
+    def __del__(self):  # abandoned sink → no thread leak
+        self.close()
+
     def join(self) -> None:
         """Drain everything, stop the worker, re-raise any error."""
         self._q.put(_STAGE_SENTINEL)
@@ -796,6 +799,13 @@ class Engine:
             # (--eval_bucket; env force-override for scripts)
             bucket = int(os.environ.get("BRATS21_EVAL_BUCKET", "0")) \
                 or int(getattr(cfg, "eval_bucket", 8) or 8)
+        if bucket < 8 or bucket % 8:
+            # validate HERE (covers the env override and the inference
+            # CLI, which builds its config without .validate()): a
+            # non-multiple-of-8 pad shape-mismatches the skip concats
+            # only after minutes of remote XLA compile
+            raise ValueError(f"eval bucket must be a multiple of 8 (the "
+                             f"model's downsampling factor), got {bucket}")
 
         n_dev = self.eval_mesh.shape["data"]
         # case-parallel fast path: when neither TTA-parallelism nor
@@ -898,8 +908,10 @@ class Engine:
 
         # finish stage: meters/report rows/NIfTI saves (pure host numpy +
         # IO, no jax) run in one ordered background thread so they overlap
-        # the NEXT case's device compute
-        writer = _SinkStage(finish_case, depth=4)
+        # the NEXT case's device compute. Constructed inside the try below
+        # (with the prep stage) so no failure path leaks its thread;
+        # flush_group/collect resolve the name at call time.
+        writer: Optional[_SinkStage] = None
 
         def flush_group(cases: List[Dict[str, Any]]) -> None:
             """Run up to n_dev same-shape cases as one batch sharded over
@@ -1059,8 +1071,10 @@ class Engine:
                 case["wire"] = self._pack_case_host(padded)
             return case
 
-        prep_stage = _IterStage(iter(loader), prep, depth=depth)
+        prep_stage: Optional[_IterStage] = None
         try:
+            writer = _SinkStage(finish_case, depth=4)
+            prep_stage = _IterStage(iter(loader), prep, depth=depth)
             while True:
                 t_wait = time.time()
                 try:
@@ -1109,8 +1123,10 @@ class Engine:
                     flush_group(group)
             writer.join()
         finally:
-            prep_stage.close()
-            writer.close()
+            if prep_stage is not None:
+                prep_stage.close()
+            if writer is not None:
+                writer.close()
 
         self.tb.log_meters(epoch, [losses, *metric_meters.values()],
                            step_mode=f"{step_mode}_epoch")

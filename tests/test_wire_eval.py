@@ -275,17 +275,50 @@ def test_eval_bucket_flag(eval_setup, tmp_path, monkeypatch):
     finally:
         cfg.eval_bucket = 8
     assert sorted(base[1]) == sorted(coarse[1])
-    # same original-shape geometry after pad-back
+    # same original-shape geometry after pad-back. NOTE on looseness: a
+    # RANDOM-weights model's sigmoid outputs sit near the 0.5 threshold,
+    # so the bucket's norm-stat perturbation flips many voxels (measured
+    # ~40% here) — on trained models the drift is border-only. The exact
+    # mechanics (pad shape, crop-back alignment) are pinned separately in
+    # test_eval_bucket_pad_mechanics_exact.
     from brats21_tpu.data.nifti import read_nifti
     for f in sorted(os.listdir(str(tmp_path / "b16"))):
-        img = read_nifti(os.path.join(str(tmp_path / "b16"), f))
-        assert img.data.shape == (16, 16, 8)
+        a = read_nifti(os.path.join(str(tmp_path / "b16"), f)).data
+        b = read_nifti(os.path.join(str(tmp_path / "b8"), f)).data
+        assert a.shape == (16, 16, 8)
+        assert float((a == b).mean()) >= 0.5
     for k in base[0]:
         if k in ("loss", "batch_time", "data_time"):
             continue
+        atol = 20.0 if "distance" in k else 0.3
         np.testing.assert_allclose(np.asarray(coarse[0][k].avg),
-                                   np.asarray(base[0][k].avg), atol=0.3,
+                                   np.asarray(base[0][k].avg), atol=atol,
                                    err_msg=k)
+
+
+def test_eval_bucket_pad_mechanics_exact(rng):
+    """The bucket's pad/crop-back mechanics are EXACT: _pad_case to any
+    bucket puts the original volume at offset p_b untouched, and
+    shape_to_original(p_b, p_a) recovers precisely the original region —
+    a padding-offset bug shifts this and fails bitwise."""
+    from brats21_tpu.data import transforms as T
+
+    cfg = TrainConfig(model="equiunet", width=4)
+    model = get_model(cfg)
+    mesh = make_mesh(jax.devices()[:1], data=1, space=1)
+    engine = _make_engine(cfg, model, mesh)
+    img = rng.random((15, 13, 9, 4)).astype(np.float32)
+    for bucket in (8, 16, 32):
+        padded, p_b, p_a = engine._pad_case(img, use_tta=False,
+                                            bucket=bucket)
+        assert all(s % bucket == 0 for s in padded.shape[:3])
+        # the original volume sits untouched at offset p_b
+        np.testing.assert_array_equal(
+            padded[p_b[0]:p_b[0] + 15, p_b[1]:p_b[1] + 13,
+                   p_b[2]:p_b[2] + 9], img)
+        # and crop-back recovers it bitwise
+        np.testing.assert_array_equal(
+            T.shape_to_original(padded, p_b, p_a), img)
 
 
 def test_eval_bucket_env_overrides_config(eval_setup, tmp_path, monkeypatch):
