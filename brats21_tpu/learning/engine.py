@@ -102,6 +102,39 @@ class _IterStage:
         return item
 
 
+class _InlineIter:
+    """Thread-free stand-in for :class:`_IterStage`
+    (BRATS21_EVAL_STAGES=0): maps on the caller's thread."""
+
+    def __init__(self, src_iter, fn: Callable[[Any], Any]):
+        self._it, self._fn = src_iter, fn
+
+    def close(self) -> None:
+        pass
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._fn(next(self._it))
+
+
+class _InlineSink:
+    """Thread-free stand-in for :class:`_SinkStage`."""
+
+    def __init__(self, fn: Callable[..., None]):
+        self._fn = fn
+
+    def submit(self, *args) -> None:
+        self._fn(*args)
+
+    def close(self) -> None:
+        pass
+
+    def join(self) -> None:
+        pass
+
+
 class _SinkStage:
     """One background thread draining ``fn(*args)`` submissions in order —
     the eval pipeline's FINISH stage (metrics, report rows, NIfTI save)
@@ -1071,10 +1104,16 @@ class Engine:
                 case["wire"] = self._pack_case_host(padded)
             return case
 
-        prep_stage: Optional[_IterStage] = None
+        # BRATS21_EVAL_STAGES=0 runs prep/finish inline on the caller's
+        # thread (no background stages) — a debugging/fallback mode that
+        # trades the host/device overlap for a single-threaded eval loop
+        use_stages = os.environ.get("BRATS21_EVAL_STAGES", "1") != "0"
+        prep_stage = None
         try:
-            writer = _SinkStage(finish_case, depth=4)
-            prep_stage = _IterStage(iter(loader), prep, depth=depth)
+            writer = (_SinkStage(finish_case, depth=4) if use_stages
+                      else _InlineSink(finish_case))
+            prep_stage = (_IterStage(iter(loader), prep, depth=depth)
+                          if use_stages else _InlineIter(iter(loader), prep))
             while True:
                 t_wait = time.time()
                 try:

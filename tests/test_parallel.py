@@ -5,6 +5,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _inline_eval_stages(monkeypatch):
+    """These tests drive heavy shard_map graphs on the 8-virtual-device
+    CPU mesh in one long pytest process; running the eval host stages
+    inline (BRATS21_EVAL_STAGES=0) keeps extra threads out of the
+    XLA:CPU eager path, which has shown rare in-suite SIGABRTs under
+    that mix. Stage-vs-inline equivalence is covered directly in
+    tests/test_wire_eval.py."""
+    monkeypatch.setenv("BRATS21_EVAL_STAGES", "0")
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from brats21_tpu.config import TrainConfig

@@ -341,3 +341,13 @@ def test_eval_bucket_validation():
     with pytest.raises(ValueError):
         TrainConfig(model="equiunet", eval_bucket=4).validate()
     TrainConfig(model="equiunet", eval_bucket=64).validate()
+
+
+def test_eval_stages_inline_equivalent(eval_setup, tmp_path, monkeypatch):
+    """BRATS21_EVAL_STAGES=0 (thread-free prep/finish, debugging mode) is
+    output-identical to the staged default: meters AND saved NIfTIs."""
+    monkeypatch.delenv("BRATS21_EVAL_STAGES", raising=False)
+    staged = _run_eval(eval_setup, tmp_path, "staged", "sparse", monkeypatch)
+    monkeypatch.setenv("BRATS21_EVAL_STAGES", "0")
+    inline = _run_eval(eval_setup, tmp_path, "inline", "sparse", monkeypatch)
+    _assert_same(staged, inline)
