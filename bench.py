@@ -12,6 +12,13 @@ BASELINE.md — the torch-CPU number is measured here once and cached in
 ``.bench_baseline.json``).
 
 Env knobs: BENCH_VOLUMES (default 8 timed volumes), BENCH_SKIP_BASELINE=1.
+
+Relay-weather hardening (VERDICT r3 #1/#3): the measurement runs in a CHILD
+process retried up to BENCH_RETRIES times (default 3, BENCH_RETRY_BACKOFF s
+apart) — a failed axon backend init is cached within a process, so retries
+must be cross-process. Each attempt is bounded by BENCH_ATTEMPT_TIMEOUT s.
+On final failure the parent still prints ONE structured JSON line naming
+the failing stage and exits 1.
 """
 
 from __future__ import annotations
@@ -334,8 +341,21 @@ def bench_torch_cpu_baseline() -> float:
     return vpm
 
 
-def main() -> None:
+_METRIC = "equiunet_assp_evo_w48_full_volume_inference"
+_STAGE = "import"          # coarse progress marker for failure reporting
+
+
+def _set_stage(s: str) -> None:
+    global _STAGE
+    _STAGE = s
+    log(f"[bench stage] {s}")
+
+
+def _child_main() -> None:
+    """One measurement attempt (runs in a subprocess of main())."""
+    _set_stage("tpu_backend_init")
     tpu_vpm = bench_tpu()
+    _set_stage("baseline")
     try:
         base_vpm = bench_torch_cpu_baseline()
     except Exception as e:  # baseline failure must not kill the bench
@@ -343,11 +363,67 @@ def main() -> None:
         base_vpm = float("nan")
     ratio = tpu_vpm / base_vpm if base_vpm == base_vpm and base_vpm > 0 else None
     print(json.dumps({
-        "metric": "equiunet_assp_evo_w48_full_volume_inference",
+        "metric": _METRIC,
         "value": round(tpu_vpm, 3),
         "unit": "volumes/min",
         "vs_baseline": round(ratio, 2) if ratio else None,
-    }))
+    }), flush=True)
+
+
+def main() -> None:
+    if os.environ.get("BENCH_CHILD") == "1":
+        try:
+            _child_main()
+        except BaseException as e:  # noqa: BLE001 — stage goes to parent
+            log(f"[bench failed at stage={_STAGE}] {type(e).__name__}: {e}")
+            print(json.dumps({"metric": _METRIC, "value": None,
+                              "unit": "volumes/min", "vs_baseline": None,
+                              "error": f"{type(e).__name__}: {e}"[:500],
+                              "stage": _STAGE}), flush=True)
+            sys.exit(1)
+        return
+
+    import subprocess
+    retries = max(int(os.environ.get("BENCH_RETRIES", "3")), 1)
+    backoff = float(os.environ.get("BENCH_RETRY_BACKOFF", "60"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1200"))
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    env["PYTHONUNBUFFERED"] = "1"
+    last_line = ""
+    for attempt in range(1, retries + 1):
+        log(f"bench attempt {attempt}/{retries} "
+            f"(timeout {attempt_timeout:.0f}s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, text=True, timeout=attempt_timeout)
+            rc, out = proc.returncode, proc.stdout
+        except subprocess.TimeoutExpired as e:
+            rc = 124
+            out = (e.stdout.decode() if isinstance(e.stdout, bytes)
+                   else e.stdout) or ""
+            log(f"attempt {attempt} timed out after {attempt_timeout:.0f}s")
+        lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+        last_line = lines[-1] if lines else last_line
+        if rc == 0 and lines:
+            print(lines[-1], flush=True)     # the ONE JSON line
+            return
+        log(f"bench attempt {attempt}/{retries} failed rc={rc}")
+        if attempt < retries:
+            log(f"retrying in {backoff:.0f}s (relay weather)")
+            time.sleep(backoff)
+    # final failure: still emit ONE structured JSON line naming the stage
+    try:
+        rec = json.loads(last_line)
+        assert isinstance(rec, dict) and "metric" in rec
+    except Exception:  # noqa: BLE001
+        rec = {"metric": _METRIC, "value": None, "unit": "volumes/min",
+               "vs_baseline": None, "error": "no child diagnostics",
+               "stage": "timeout_or_crash"}
+    rec["attempts"] = retries
+    print(json.dumps(rec), flush=True)
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -23,9 +23,22 @@ import optax
 ScalarOrSchedule = Union[float, optax.Schedule]
 
 
-def _centralize(g: chex.Array, conv_only: bool) -> chex.Array:
+# EvoNorm affine params are registered rank-5 ``(1, C, 1, 1, 1)`` in the
+# reference (equiunet2021.py:75-78), so its GC centers their grads over the
+# channel axis (dim 5 passes BOTH the >1 and conv_only >3 gates). Our flax
+# twins are rank-1 ``(c,)`` and would be skipped — a real backward-chain
+# deviation found while building the whole-model train-step goldens
+# (VERDICT r3 #3). Matched by name.
+_TORCH_RANK5_AFFINE = ("gamma", "beta", "v")
+
+
+def _centralize(g: chex.Array, conv_only: bool,
+                name: str = "") -> chex.Array:
     """Gradient centralization (optimizer.py:11-20): subtract the mean over
     all non-output axes; fc layers included unless conv_only."""
+    if g.ndim == 1 and name in _TORCH_RANK5_AFFINE:
+        # torch layout (1,C,1,1,1): mean over dims 1..4 is the global mean
+        return g - g.mean()
     if conv_only:
         apply = g.ndim > 3
     else:
@@ -34,6 +47,14 @@ def _centralize(g: chex.Array, conv_only: bool) -> chex.Array:
         return g
     axes = tuple(range(g.ndim - 1))
     return g - g.mean(axis=axes, keepdims=True)
+
+
+def _leaf_name(path) -> str:
+    """Last key of a tree_map_with_path key-path, as a plain string."""
+    if not path:
+        return ""
+    last = path[-1]
+    return str(getattr(last, "key", getattr(last, "name", last)))
 
 
 def _normalize_gradient(g: chex.Array, eps: float = 1e-8) -> chex.Array:
@@ -45,10 +66,19 @@ def _normalize_gradient(g: chex.Array, eps: float = 1e-8) -> chex.Array:
 
 
 def _unit_norm(x: chex.Array) -> chex.Array:
-    """Axis-based euclidean norm (optimizer.py:39-59)."""
+    """Axis-based euclidean norm (optimizer.py:39-59). torch reduces dim 1
+    for ranks 2-3: rank-2 dense kernels are TRANSPOSED in flax ([in,out] vs
+    [out,in]) so torch dim 1 is our axis 0, but rank-3 params (BCNorm's
+    (1,g,1), factory.py:132-133) keep the torch layout, so dim 1 stays
+    axis 1."""
     if x.ndim <= 1:
         return jnp.linalg.norm(x)
-    axes = tuple(range(x.ndim - 1)) if x.ndim >= 4 else (0,)
+    if x.ndim == 2:
+        axes = (0,)
+    elif x.ndim == 3:
+        axes = (1,)
+    else:
+        axes = tuple(range(x.ndim - 1))
     return jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True))
 
 
@@ -142,8 +172,9 @@ def ranger(learning_rate: ScalarOrSchedule,
 
         grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
         if use_gc:  # gc_loc=True in the reference config (definer.py:330)
-            grads = jax.tree_util.tree_map(
-                lambda g: _centralize(g, gc_conv_only), grads)
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: _centralize(g, gc_conv_only,
+                                            _leaf_name(path)), grads)
         if use_gcnorm:
             grads = jax.tree_util.tree_map(_normalize_gradient, grads)
 

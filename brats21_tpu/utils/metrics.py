@@ -206,12 +206,31 @@ def compute_case_metrics(y_pred: np.ndarray, y: np.ndarray,
     return out
 
 
+def _rankdata_average(a: np.ndarray) -> np.ndarray:
+    """1-based ranks with ties assigned the AVERAGE rank of their group —
+    scipy.stats.rankdata(method='average') semantics, dependency-free."""
+    sorter = np.argsort(a, kind="mergesort")
+    inv = np.empty(a.size, np.intp)
+    inv[sorter] = np.arange(a.size)
+    sa = a[sorter]
+    group_start = np.r_[True, sa[1:] != sa[:-1]]      # first of each tie group
+    dense = group_start.cumsum()[inv]                 # 1-based group id
+    # boundary[k] = index where group k+1 starts; boundary[-1] = n
+    boundary = np.r_[np.nonzero(group_start)[0], a.size]
+    # average of 1-based positions boundary[g-1]+1 .. boundary[g]
+    return 0.5 * (boundary[dense] + boundary[dense - 1] + 1)
+
+
 def roc_auc(probs: np.ndarray, labels: np.ndarray) -> float:
-    """Binary ROC-AUC via the rank statistic (no sklearn dependency needed)."""
-    pos = probs[labels.astype(bool)]
-    neg = probs[~labels.astype(bool)]
+    """Binary ROC-AUC via the Mann-Whitney rank statistic (no sklearn
+    dependency needed). Ties get AVERAGE ranks, matching sklearn/MONAI's
+    trapezoidal AUC used by the reference (``compute_roc_auc``,
+    metrics.py:158) on quantized/saturated probabilities."""
+    pos_mask = labels.astype(bool)
+    pos = probs[pos_mask]
+    neg = probs[~pos_mask]
     if pos.size == 0 or neg.size == 0:
         return float("nan")
-    ranks = np.argsort(np.argsort(np.concatenate([pos, neg]))) + 1
+    ranks = _rankdata_average(np.concatenate([pos, neg]))
     auc = (ranks[: pos.size].sum() - pos.size * (pos.size + 1) / 2) / (pos.size * neg.size)
     return float(auc)

@@ -92,6 +92,29 @@ def tune_host_allocator(mmap_threshold: int = 1 << 30,
 DEFAULT_CACHE_DIR = "/tmp/brats21_jax_cache"
 
 
+def _cpu_fingerprint() -> str:
+    """Short hash of the host CPU's instruction-set features.
+
+    XLA:CPU persists AOT-compiled machine code; jax's cache key does NOT
+    fully capture the compile machine's target features, so a cache written
+    before a VM snapshot-restore onto different silicon gets loaded with
+    ``cpu_aot_loader: Machine type ... doesn't match — could lead to
+    execution errors such as SIGILL`` (observed live on this host). Keying
+    the CPU cache directory by the feature set makes such reuse
+    impossible."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None,
                              log_compiles: bool = False) -> str:
     """Persistent XLA compilation cache for every CLI entry point.
@@ -110,6 +133,15 @@ def enable_compilation_cache(cache_dir: str | None = None,
         return ""
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or DEFAULT_CACHE_DIR)
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover — backend init failure
+        backend = "unknown"
+    if backend == "cpu":
+        # CPU executables are host-machine-code: never share them across
+        # CPU models (see _cpu_fingerprint)
+        cache_dir = os.path.join(cache_dir, f"cpu-{_cpu_fingerprint()}")
+        os.makedirs(cache_dir, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -121,3 +121,12 @@ def test_sink_stage_concurrent_with_main_thread_work():
         sink.submit(i)
     sink.join()
     assert seen_threads and main not in seen_threads
+
+
+def test_sink_submit_after_close_raises():
+    """close() releases the worker without draining; a subsequent submit
+    must RAISE, not silently drop the work (a lost NIfTI save otherwise)."""
+    sink = _SinkStage(lambda x: None, depth=2)
+    sink.close()
+    with pytest.raises(RuntimeError, match="after close"):
+        sink.submit(1)

@@ -14,8 +14,16 @@ def _inline_eval_stages(monkeypatch):
     inline (BRATS21_EVAL_STAGES=0) keeps extra threads out of the
     XLA:CPU eager path, which has shown rare in-suite SIGABRTs under
     that mix. Stage-vs-inline equivalence is covered directly in
-    tests/test_wire_eval.py."""
-    monkeypatch.setenv("BRATS21_EVAL_STAGES", "0")
+    tests/test_wire_eval.py.
+
+    BRATS21_STAGES_IN_PARALLEL_TESTS=1 runs the staged (threaded) product
+    default here too — used by scripts/hunt_sigabrt.sh to chase the abort
+    under the real configuration."""
+    import os
+    if os.environ.get("BRATS21_STAGES_IN_PARALLEL_TESTS") == "1":
+        monkeypatch.setenv("BRATS21_EVAL_STAGES", "1")
+    else:
+        monkeypatch.setenv("BRATS21_EVAL_STAGES", "0")
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from brats21_tpu.config import TrainConfig
