@@ -101,6 +101,7 @@ def bench_tpu() -> float:
 
     cfg = TrainConfig(model="equiunet_assp_evo", width=WIDTH)
     model = get_model(cfg)
+    use_tta = os.environ.get("BENCH_TTA") == "1"   # 16-combo TTA fusion
 
     img = make_case()
     padded = preprocess_raw(img)
@@ -112,8 +113,16 @@ def bench_tpu() -> float:
     variables = model.init(jax.random.PRNGKey(0), x_init)
 
     def label_map(vars_, x):
-        out, _ = model.apply(vars_, x, deterministic=True)
-        probs = jax.nn.sigmoid(out.astype(jnp.float32))
+        if use_tta:
+            # BENCH_TTA=1: the full 16-combo TTA fusion (ops/tta.py scan
+            # path) — the reference's --tta eval mode (engine.py:229-249)
+            from brats21_tpu.ops.tta import tta_mean_probs
+            probs, _ = tta_mean_probs(
+                lambda v: model.apply(vars_, v, deterministic=True), x)
+            probs = probs.astype(jnp.float32)
+        else:
+            out, _ = model.apply(vars_, x, deterministic=True)
+            probs = jax.nn.sigmoid(out.astype(jnp.float32))
         return change_label_3_to_4(
             multichannel_to_brats(threshold_probs(probs))).astype(jnp.uint8)
 

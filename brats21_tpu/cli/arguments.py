@@ -180,6 +180,13 @@ def build_inference_parser() -> argparse.ArgumentParser:
                    help="poll period in seconds for --watch")
     g.add_argument("--watch_stop_file", type=str, default=None,
                    help="exit the --watch loop when this file appears")
+    g.add_argument("--import_pth", type=str, nargs="+", default=None,
+                   help="reference torch checkpoint(s) (.pth) to serve "
+                        "instead of this framework's checkpoints; one per "
+                        "--config, converted in-memory "
+                        "(utils/import_torch.py). For a persistent "
+                        "conversion use `python -m "
+                        "brats21_tpu.cli.import_torch`")
 
     g = parser.add_argument_group("processing", "Processing configuration")
     g.add_argument("--sliding_window_inference", action="store_true",
@@ -222,12 +229,18 @@ def get_inference_args(argv=None) -> Tuple[Dict[str, argparse.Namespace], str]:
             raise ValueError("'on' is train. This mode is incompatible with "
                              "several configs/models files")
 
+    if args.import_pth is not None and len(args.import_pth) != len(args.config):
+        raise ValueError(
+            f"--import_pth needs one .pth per --config "
+            f"({len(args.import_pth)} vs {len(args.config)})")
+
     config_dict: Dict[str, argparse.Namespace] = {}
     for idx, config_file in enumerate(args.config):
         folder = os.path.dirname(os.path.abspath(config_file))
-        checkpoints = [d for d in os.listdir(folder)
-                       if "best_model" in d or "last_model" in d]
-        assert checkpoints, f"No checkpoint found in {folder}"
+        if args.import_pth is None:
+            checkpoints = [d for d in os.listdir(folder)
+                           if "best_model" in d or "last_model" in d]
+            assert checkpoints, f"No checkpoint found in {folder}"
 
         with open(config_file) as f:
             loaded = yaml.safe_load(f)
@@ -241,6 +254,9 @@ def get_inference_args(argv=None) -> Tuple[Dict[str, argparse.Namespace], str]:
         loaded["log_val_interval"] = 1
         loaded["config"] = config_file
         loaded["model_dir"] = folder
+        # one .pth per config (vars(args) copied the whole list above)
+        loaded["import_pth"] = (args.import_pth[idx]
+                                if args.import_pth else None)
 
         if args.on == "val" and args.val_data_path is not None:
             loaded["fold"] = None

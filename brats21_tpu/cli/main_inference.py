@@ -31,8 +31,16 @@ from .main_train import post_kwargs_from_cfg
 def load_member(ns) -> tuple:
     """Build (model, variables) from one merged config namespace
     (main_inference.py:62-69): SWA runs load swa_params from last_model,
-    others params from best_model."""
+    others params from best_model. With --import_pth the weights come from
+    a reference-trained torch checkpoint instead (utils/import_torch.py);
+    SWA reference runs serve the AveragedModel payload, mirroring the
+    reference's swa_model/last_model.pth choice."""
     model = get_model(ns)
+    if getattr(ns, "import_pth", None):
+        from ..utils.import_torch import import_checkpoint
+        params = import_checkpoint(ns.import_pth, ns,
+                                   prefer_swa=bool(ns.swa_start))
+        return model, {"params": params}
     name = LAST_NAME if ns.swa_start else BEST_NAME
     ckpt = load_checkpoint(os.path.join(ns.model_dir, name))
     params = ckpt["swa_params"] if ns.swa_start else ckpt["params"]

@@ -139,8 +139,12 @@ def enable_compilation_cache(cache_dir: str | None = None,
         backend = "unknown"
     if backend == "cpu":
         # CPU executables are host-machine-code: never share them across
-        # CPU models (see _cpu_fingerprint)
-        cache_dir = os.path.join(cache_dir, f"cpu-{_cpu_fingerprint()}")
+        # CPU models (see _cpu_fingerprint). Idempotent: a second call in
+        # the same process (or a child inheriting the env var) must not
+        # nest another fingerprint level.
+        leaf = f"cpu-{_cpu_fingerprint()}"
+        if os.path.basename(os.path.normpath(cache_dir)) != leaf:
+            cache_dir = os.path.join(cache_dir, leaf)
         os.makedirs(cache_dir, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     try:

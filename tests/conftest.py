@@ -25,9 +25,19 @@ import pytest  # noqa: E402
 def _bounded_jit_cache():
     """Drop compiled executables between test modules: a full-suite run in
     one process otherwise accumulates ~200 tests' executables (and their
-    thread pools) — on small CI hosts that ends in a native abort."""
+    thread pools) — on small CI hosts that ends in a native abort.
+
+    Also un-poison global jax config: e2e tests run the CLIs in-process,
+    and main() enables the PERSISTENT compilation cache
+    (utils/profiling.py) — without restoration every later module silently
+    switches to the disk-cache + XLA:CPU AOT-load path, a behavior change
+    no other test asked for."""
+    cache_dir = jax.config.jax_compilation_cache_dir
     yield
     jax.clear_caches()
+    if jax.config.jax_compilation_cache_dir != cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 
 @pytest.fixture(scope="session")
