@@ -52,3 +52,23 @@ def test_native_nocrop(records):
     out = native.load_case_native(records[0]["img"], crop=False,
                                   normalize=False)
     assert tuple(out["original_shape"]) == out["img"].shape[:3]
+
+
+def test_fused_decoder_matches_v1(records, monkeypatch):
+    """Round 4: the fused single-pass decode (raw-body stats+bbox + tiled
+    cast/normalize/transpose) must be voxel-identical to the round-2
+    cast-everything-first implementation (BRATS21_DECODE_V1=1)."""
+    rec = records[0]
+    monkeypatch.delenv("BRATS21_DECODE_V1", raising=False)
+    fused = native.load_case_native(rec["img"], crop=True, normalize=True,
+                                    remove_outliers=True)
+    monkeypatch.setenv("BRATS21_DECODE_V1", "1")
+    v1 = native.load_case_native(rec["img"], crop=True, normalize=True,
+                                 remove_outliers=True)
+    assert fused is not None and v1 is not None
+    np.testing.assert_array_equal(fused["foreground_start_coord"],
+                                  v1["foreground_start_coord"])
+    np.testing.assert_array_equal(fused["foreground_end_coord"],
+                                  v1["foreground_end_coord"])
+    # identical stats accumulation order -> bitwise-equal voxels
+    np.testing.assert_array_equal(fused["img"], v1["img"])
