@@ -361,3 +361,34 @@ def test_import_cli_writes_servable_run_dir(tmp_path, rng):
         want, _ = tm(_nchw(x))
     np.testing.assert_allclose(np.asarray(out),
                                np.moveaxis(want.numpy(), 1, -1), atol=2e-4)
+
+
+def test_imported_weights_give_identical_labels(tmp_path, rng):
+    """BASELINE.md's north-star qualifier is 'at equal DSC'. With imported
+    reference weights the frameworks produce the SAME segmentation labels
+    (hence bitwise-equal DSC against any ground truth): thresholded sigmoid
+    predictions may differ only where the probability sits within float
+    noise of the 0.5 threshold — assert zero disagreements outside a 1e-3
+    probability band and a vanishing disagreement rate overall."""
+    tm = _randomize(RefEquiUnetASSPEvo(F4), 11).eval()
+    pth = str(tmp_path / "best_model.pth")
+    torch.save({"model": tm.state_dict()}, pth)
+    cfg = TrainConfig(model="equiunet_assp_evo", width=8)
+    params = import_checkpoint(pth, cfg)
+
+    from brats21_tpu.models import get_model
+    model = get_model(cfg)
+    x = rng.standard_normal((1, 16, 16, 16, 4)).astype(np.float32)
+    out, _ = model.apply({"params": params}, jnp.asarray(x),
+                         deterministic=True)
+    probs_j = np.asarray(jax.nn.sigmoid(out.astype(jnp.float32)))
+    with torch.no_grad():
+        logits_t, _ = tm(_nchw(x))
+    probs_t = np.moveaxis(torch.sigmoid(logits_t).numpy(), 1, -1)
+
+    lab_j = probs_j >= 0.5
+    lab_t = probs_t >= 0.5
+    disagree = lab_j != lab_t
+    # every disagreement must be a genuine threshold tie
+    assert np.abs(probs_t[disagree] - 0.5).max(initial=0.0) < 1e-3
+    assert disagree.mean() < 1e-3
