@@ -84,8 +84,17 @@ def main() -> None:
                         f.read()
 
             def native_load():
+                os.environ.pop("BRATS21_DECODE_V1", None)
                 out = native.load_case_native(paths)
                 assert out is not None, "native load failed"
+
+            def native_v1_load():
+                os.environ["BRATS21_DECODE_V1"] = "1"
+                try:
+                    out = native.load_case_native(paths)
+                    assert out is not None, "native v1 load failed"
+                finally:
+                    os.environ.pop("BRATS21_DECODE_V1", None)
 
             def numpy_load():
                 img = np.stack([read_nifti(p).data.astype(np.float32)
@@ -100,7 +109,8 @@ def main() -> None:
                 "shape": list(shape),
                 "gz_mb": round(gz_bytes / 1e6, 1),
                 "gunzip_s": round(timed(gunzip_only, args.reps), 3),
-                "native_s": round(timed(native_load, args.reps), 3),
+                "native_fused_s": round(timed(native_load, args.reps), 3),
+                "native_v1_s": round(timed(native_v1_load, args.reps), 3),
                 "numpy_s": round(timed(numpy_load, args.reps), 3),
             }
             print(json.dumps(row), flush=True)
