@@ -36,7 +36,8 @@ logger = logging.getLogger("brats21_tpu.import_torch")
 __all__ = ["load_torch_state_dict", "state_dict_to_flax",
            "import_checkpoint", "SUPPORTED_MODELS"]
 
-SUPPORTED_MODELS = ("equiunet", "unet", "equiunet_assp_evo")
+SUPPORTED_MODELS = ("equiunet", "equiunet_ref", "att_equiunet",
+                    "equiunet_assp_evo")
 
 
 # ---------------------------------------------------------------------------
@@ -159,13 +160,49 @@ def _torch_key_assp_evo(path: Sequence[str]) -> Tuple[str, str]:
     raise KeyError(f"assp_evo: unmapped flax path {'/'.join(parts)}")
 
 
+def _torch_key_att_equiunet(path: Sequence[str]) -> Tuple[str, str]:
+    """(torch_key, kind) for AttEquiUnet (equiunet2020.py:503-561).
+
+    Beyond the shared UBlock/ConvBnRelu naming: CBAM's ChannelGate mlp is
+    Sequential(Flatten, Linear, ReLU, Linear) → keys mlp.1/mlp.3
+    (:177-182); SpatialGate wraps a BasicConv named 'spatial' with
+    conv/bn children (:152-156, 210-215); torch bottom_2 is
+    Sequential(ConvBnRelu, CBAM) → prefixes bottom_2.0 / bottom_2.1,
+    where flax names them bottom_2 / bottom_2_cbam."""
+    parts = list(path)
+    leaf = parts[-1]
+    if parts[0] == "bottom_2":
+        parts = ["bottom_2", "0"] + parts[1:]
+    elif parts[0] == "bottom_2_cbam":
+        parts = ["bottom_2", "1"] + parts[1:]
+    if "ChannelGate" in parts:
+        i = parts.index("ChannelGate")
+        idx = {"Dense_0": "1", "Dense_1": "3"}[parts[i + 1]]
+        prefix = ".".join(parts[:i + 1])
+        return (f"{prefix}.mlp.{idx}.{_wb(leaf)}",
+                "lin_w" if leaf == "kernel" else "vec")
+    if "SpatialGate" in parts:
+        i = parts.index("SpatialGate")
+        prefix = ".".join(parts[:i + 1])
+        if parts[i + 1] == "spatial_conv":
+            return (f"{prefix}.spatial.conv.{_wb(leaf)}",
+                    "conv_w" if leaf == "kernel" else "vec")
+        return (f"{prefix}.spatial.bn."
+                f"{'weight' if leaf == 'scale' else 'bias'}", "vec")
+    return _torch_key_equiunet(parts)
+
+
 def _wb(leaf: str) -> str:
     return "weight" if leaf in ("kernel", "scale") else "bias"
 
 
 _FAMILY_RULES = {
     "equiunet": _torch_key_equiunet,
-    "unet": _torch_key_equiunet,       # same module names (equiunet2020.py)
+    # refinement variant: flax 'refunet/{conv0,hx*,d*,conv_d0}' mirrors the
+    # torch attribute names (equiunet2020.py:252-309,460-463), so the
+    # generic join covers it
+    "equiunet_ref": _torch_key_equiunet,
+    "att_equiunet": _torch_key_att_equiunet,
     "equiunet_assp_evo": _torch_key_assp_evo,
 }
 

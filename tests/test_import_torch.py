@@ -392,3 +392,198 @@ def test_imported_weights_give_identical_labels(tmp_path, rng):
     # every disagreement must be a genuine threshold tie
     assert np.abs(probs_t[disagree] - 0.5).max(initial=0.0) < 1e-3
     assert disagree.mean() < 1e-3
+
+
+# --------------------------------------------------------------------------
+# att_equiunet / equiunet_ref (round 4): CBAM and RefUnet key translation
+# --------------------------------------------------------------------------
+
+
+class RefChannelGate(tnn.Module):
+    """equiunet2020.py:171-201 — 'mlp' Sequential(Flatten, Linear, ReLU,
+    Linear) → keys mlp.1/mlp.3; avg+max pooled features share the mlp."""
+
+    def __init__(self, c, r=16):
+        super().__init__()
+        self.mlp = tnn.Sequential(tnn.Flatten(), tnn.Linear(c, c // r),
+                                  tnn.ReLU(), tnn.Linear(c // r, c))
+
+    def forward(self, x):
+        avg = F.avg_pool3d(x, x.shape[2:]).flatten(1)
+        mx = F.max_pool3d(x, x.shape[2:]).flatten(1)
+        att = self.mlp(avg) + self.mlp(mx)
+        return x * torch.sigmoid(att)[:, :, None, None, None]
+
+
+class RefSpatialGate(tnn.Module):
+    """equiunet2020.py:210-221 — BasicConv named 'spatial' (conv/bn)."""
+
+    class _BasicConv(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = tnn.Conv3d(2, 1, 7, padding=3, bias=False)
+            self.bn = tnn.GroupNorm(1, 1)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    def __init__(self):
+        super().__init__()
+        self.spatial = self._BasicConv()
+
+    def forward(self, x):
+        compress = torch.cat([x.max(dim=1, keepdim=True).values,
+                              x.mean(dim=1, keepdim=True)], dim=1)
+        return x * torch.sigmoid(self.spatial(compress))
+
+
+class RefCBAM(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.ChannelGate = RefChannelGate(c)
+        self.SpatialGate = RefSpatialGate()
+
+    def forward(self, x):
+        return self.SpatialGate(self.ChannelGate(x))
+
+
+class RefUBlockCbam(tnn.Sequential):
+    """equiunet2020.py:238-249 — names 'UBlock'/'CBAM'."""
+
+    def __init__(self, cin, mid, cout, dilation=(1, 1)):
+        super().__init__(OrderedDict([
+            ("UBlock", RefUBlock(cin, mid, cout, dilation)),
+            ("CBAM", RefCBAM(cout)),
+        ]))
+
+
+class RefAttEquiUnet(tnn.Module):
+    """equiunet2020.py:503-561 attribute names; bottom_2 is
+    Sequential(ConvBnRelu, CBAM) → key prefixes bottom_2.0/bottom_2.1."""
+
+    def __init__(self, f, nc=3):
+        super().__init__()
+        self.encoder1 = RefUBlockCbam(4, f[0], f[0])
+        self.encoder2 = RefUBlockCbam(f[0], f[1], f[1])
+        self.encoder3 = RefUBlockCbam(f[1], f[2], f[2])
+        self.encoder4 = RefUBlockCbam(f[2], f[3], f[3])
+        self.bottom = RefUBlockCbam(f[3], f[3], f[3], (2, 2))
+        self.bottom_2 = tnn.Sequential(RefConvBnRelu(f[3] * 2, f[2]),
+                                       RefCBAM(f[2]))
+        self.decoder3 = RefUBlock(f[2] * 2, f[2], f[1])
+        self.decoder2 = RefUBlock(f[1] * 2, f[1], f[0])
+        self.decoder1 = RefUBlock(f[0] * 2, f[0], f[0])
+        self.outconv = tnn.Conv3d(f[0], nc, 1)
+        up = lambda s: tnn.Upsample(scale_factor=s, mode="trilinear",
+                                    align_corners=True)
+        self.deep_bottom = tnn.Sequential(tnn.Conv3d(f[3], nc, 1), up(8))
+        self.deep_bottom2 = tnn.Sequential(tnn.Conv3d(f[2], nc, 1), up(8))
+        self.deep3 = tnn.Sequential(tnn.Conv3d(f[1], nc, 1), up(4))
+        self.deep2 = tnn.Sequential(tnn.Conv3d(f[0], nc, 1), up(2))
+
+    def forward(self, x):
+        up = lambda t: F.interpolate(t, scale_factor=2, mode="trilinear",
+                                     align_corners=True)
+        d1 = self.encoder1(x)
+        d2 = self.encoder2(F.max_pool3d(d1, 2))
+        d3 = self.encoder3(F.max_pool3d(d2, 2))
+        d4 = self.encoder4(F.max_pool3d(d3, 2))
+        bottom = self.bottom(d4)
+        b2 = self.bottom_2(torch.cat([d4, bottom], 1))
+        u3 = self.decoder3(torch.cat([d3, up(b2)], 1))
+        u2 = self.decoder2(torch.cat([d2, up(u3)], 1))
+        u1 = self.decoder1(torch.cat([d1, up(u2)], 1))
+        out = self.outconv(u1)
+        deeps = [self.deep_bottom(bottom), self.deep_bottom2(b2),
+                 self.deep3(u3), self.deep2(u2)]
+        return out, deeps
+
+
+class RefRefUnet(tnn.Module):
+    """equiunet2020.py:252-309 attribute names (refinement sub-net)."""
+
+    def __init__(self, in_ch, inc_ch):
+        super().__init__()
+        self.conv0 = tnn.Conv3d(in_ch, inc_ch, 3, padding=1)
+        for name in ("hx1", "hx2", "hx3", "hx4", "hx5"):
+            setattr(self, name, RefConvBnRelu(inc_ch, inc_ch))
+        for name in ("d4", "d3", "d2", "d1"):
+            setattr(self, name, RefConvBnRelu(inc_ch * 2, inc_ch))
+        self.conv_d0 = tnn.Conv3d(inc_ch, in_ch, 3, padding=1)
+
+    def forward(self, x):
+        up = lambda t: F.interpolate(t, scale_factor=2, mode="trilinear",
+                                     align_corners=True)
+        hx = self.conv0(x)
+        hx1 = self.hx1(hx)
+        hx2 = self.hx2(F.max_pool3d(hx1, 2, 2, ceil_mode=True))
+        hx3 = self.hx3(F.max_pool3d(hx2, 2, 2, ceil_mode=True))
+        hx4 = self.hx4(F.max_pool3d(hx3, 2, 2, ceil_mode=True))
+        hx5 = self.hx5(F.max_pool3d(hx4, 2, 2, ceil_mode=True))
+        d4 = self.d4(torch.cat((up(hx5), hx4), 1))
+        d3 = self.d3(torch.cat((up(d4), hx3), 1))
+        d2 = self.d2(torch.cat((up(d3), hx2), 1))
+        d1 = self.d1(torch.cat((up(d2), hx1), 1))
+        return x + self.conv_d0(d1)
+
+
+class RefEquiUnetRef(RefEquiUnet):
+    """EquiUnet + refinement head (equiunet2020.py:460-463, 490-491)."""
+
+    def __init__(self, f, nc=3):
+        super().__init__(f, nc)
+        self.refunet = RefRefUnet(nc, f[0])
+
+    def forward(self, x):
+        out, deeps = super().forward(x)
+        return [self.refunet(out), out], deeps
+
+
+def test_import_att_equiunet_pth_forward_parity(tmp_path, rng):
+    f16 = [16, 32, 64, 128]  # ChannelGate mlp needs c//16 >= 1
+    tm = _randomize(RefAttEquiUnet(f16), 5).eval()
+    pth = str(tmp_path / "best_model.pth")
+    torch.save({"model": tm.state_dict()}, pth)
+
+    cfg = TrainConfig(model="att_equiunet", width=16, norm="group",
+                      act="relu")
+    params = import_checkpoint(pth, cfg)
+    from brats21_tpu.models import get_model
+    model = get_model(cfg)
+    x = rng.standard_normal((1, 16, 16, 16, 4)).astype(np.float32)
+    out, deeps = model.apply({"params": params}, jnp.asarray(x),
+                             deterministic=True)
+    with torch.no_grad():
+        want_out, want_deeps = tm(_nchw(x))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.moveaxis(want_out.numpy(), 1, -1),
+                               atol=5e-4)
+    for g, w in zip(deeps, want_deeps):
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.moveaxis(w.numpy(), 1, -1), atol=5e-4)
+
+
+def test_import_equiunet_ref_pth_forward_parity(tmp_path, rng):
+    tm = _randomize(RefEquiUnetRef(F4), 6).eval()
+    pth = str(tmp_path / "best_model.pth")
+    torch.save({"model": tm.state_dict()}, pth)
+
+    cfg = TrainConfig(model="equiunet_ref", width=8, norm="group",
+                      act="relu")
+    params = import_checkpoint(pth, cfg)
+    from brats21_tpu.models import get_model
+    model = get_model(cfg)
+    # 32³: RefUnet's 4 ceil-pools bottom out at 2³ — torch GroupNorm
+    # rejects the 1³ a 16³ input would produce (the reference only runs
+    # the refinement net on full-size crops)
+    x = rng.standard_normal((1, 32, 32, 32, 4)).astype(np.float32)
+    (refined, out), deeps = model.apply({"params": params}, jnp.asarray(x),
+                                        deterministic=True)
+    with torch.no_grad():
+        (want_ref, want_out), want_deeps = tm(_nchw(x))
+    np.testing.assert_allclose(np.asarray(refined),
+                               np.moveaxis(want_ref.numpy(), 1, -1),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.moveaxis(want_out.numpy(), 1, -1),
+                               atol=5e-4)
