@@ -11,7 +11,7 @@ TAG=${1:-hunt}; shift || true
 cd "$(dirname "$0")/.."
 ulimit -c unlimited
 export PYTHONFAULTHANDLER=1
-export BRATS21_STAGES_IN_PARALLEL_TESTS=1
+# staged mode is the test default since round 4 (tests/test_parallel.py)
 LOG=/tmp/sigabrt_${TAG}.log
 echo "[hunt ${TAG}] start $(date -u +%H:%M:%S)" | tee "$LOG"
 python -m pytest tests/ -q -s -p no:cacheprovider "$@" >> "$LOG" 2>&1
