@@ -260,8 +260,13 @@ def _dryrun_worker(pid: int, nproc: int, port: int, ndev: int,
     service, build a global mesh over all processes' devices, run lock-step
     sharded train steps, dump a parameter checksum."""
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + f" --xla_force_host_platform_device_count={ndev}").strip()
+    # raised rendezvous deadlines: XLA:CPU's stuck-collective watchdog
+    # aborts the process under scheduler starvation (see tests/conftest.py)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={ndev}"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200").strip()
     os.environ[COORD_ENV] = f"127.0.0.1:{port}"
     os.environ[NPROC_ENV] = str(nproc)
     os.environ[PID_ENV] = str(pid)

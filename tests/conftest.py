@@ -10,7 +10,21 @@ import os
 # Must happen before jax import anywhere.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU's in-process collectives guard their rendezvous with a watchdog
+# that LOG(FATAL)s (SIGABRT, no python traceback) when not all virtual
+# devices' threads arrive in time — on this 1-core host a loaded scheduler
+# can starve 1-2 of the 8 participant callbacks past the default 40 s
+# terminate deadline. Root-caused in round 4 from a core dump
+# (xla::cpu::InProcessCommunicator::AllGather → AwaitAndLogIfStuck →
+# LOG(FATAL), rendezvous.cc:100); this was round 3's "rare in-suite
+# SIGABRT". Raise the deadlines: genuine deadlocks still surface as
+# bounded hangs WITH the rendezvous warning logs instead of a
+# diagnostics-destroying abort. TPU runs are unaffected (cpu-only flags).
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
