@@ -269,3 +269,47 @@ def test_sparse_wire_roundtrip_exact(rng):
     assert packed.nbytes * 4 == labels.size
     np.testing.assert_array_equal(
         wire.unpack_labels(packed, labels.shape), labels)
+
+
+@pytest.mark.parametrize("b", [1, 5, 8, 9, 12, 15])
+def test_narrow_values_roundtrip_exact(rng, b):
+    """ops/wire narrow bitstream: host pack → (host twin, device decode)
+    both reconstruct every b-bit value exactly, including field layouts
+    that straddle byte boundaries (b not a multiple of 8)."""
+    import jax.numpy as jnp
+    from brats21_tpu.ops import wire
+
+    n, c = 137, 4                       # odd row count: stream padding hits
+    vals = rng.integers(0, 1 << b, size=(n, c)).astype(np.int32)
+    packed = wire.pack_values_narrow(vals, b)
+    assert packed.nbytes == -(-n * c * b // 8)
+    np.testing.assert_array_equal(
+        wire.unpack_values_narrow(packed, n, c, b), vals)
+    got = np.asarray(wire.unpack_values_narrow_device(
+        jnp.asarray(packed), n, c, b, dtype=jnp.int32))
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_narrow_volume_roundtrip_and_autowidth(rng):
+    """pack_volume_narrow reconstructs the volume bit-exactly on device;
+    narrow_bits_for picks the smallest lossless width and refuses
+    negatives / floats / full-width data."""
+    import jax.numpy as jnp
+    from brats21_tpu.ops import wire
+
+    vol = rng.integers(0, 1 << 11, size=(20, 24, 16, 4)).astype(np.int16)
+    vol[rng.random(vol.shape[:3]) > 0.55] = 0
+    b = wire.narrow_bits_for(vol)
+    assert b == int(vol.max()).bit_length()
+    bits, stream, cap = wire.pack_volume_narrow(vol, b, cap_step=1024)
+    dense_bytes = vol.nbytes
+    assert bits.nbytes + stream.nbytes < dense_bytes * 0.6
+    got = np.asarray(wire.unpack_volume_narrow_device(
+        jnp.asarray(bits), jnp.asarray(stream), vol.shape[:3],
+        channels=4, cap=cap, bits_per_value=b))[0]
+    np.testing.assert_array_equal(got, vol)
+
+    assert wire.narrow_bits_for(np.array([-1, 4], np.int16)) == 0
+    assert wire.narrow_bits_for(np.array([0.5], np.float16)) == 0
+    assert wire.narrow_bits_for(np.array([1 << 15], np.int32)) == 0
+    assert wire.narrow_bits_for(np.array([0], np.int16)) == 1
