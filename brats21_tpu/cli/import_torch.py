@@ -60,7 +60,7 @@ def main(argv=None) -> str:
     cfg = TrainConfig(model=args.model, width=args.width,
                       num_classes=args.num_classes, norm=args.norm,
                       act=args.act, dropout=args.dropout)
-    params = import_checkpoint(args.pth, cfg, prefer_swa=args.swa)
+    variables = import_checkpoint(args.pth, cfg, prefer_swa=args.swa)
 
     os.makedirs(args.out, exist_ok=True)
     cfg.save_path = args.out
@@ -74,9 +74,11 @@ def main(argv=None) -> str:
     payload = {
         "epoch": np.asarray(0),
         "step": np.asarray(0),
-        "params": params,
+        "params": variables["params"],
         "best_value": np.asarray(float("nan"), np.float32),
     }
+    if "batch_stats" in variables:   # unet_family attention-gate BN stats
+        payload["batch_stats"] = variables["batch_stats"]
     path = os.path.join(os.path.abspath(args.out), BEST_NAME)
     ckptr = ocp.PyTreeCheckpointer()
     tmp = path + ".tmp"

@@ -38,9 +38,8 @@ def load_member(ns) -> tuple:
     model = get_model(ns)
     if getattr(ns, "import_pth", None):
         from ..utils.import_torch import import_checkpoint
-        params = import_checkpoint(ns.import_pth, ns,
-                                   prefer_swa=bool(ns.swa_start))
-        return model, {"params": params}
+        return model, import_checkpoint(ns.import_pth, ns,
+                                        prefer_swa=bool(ns.swa_start))
     name = LAST_NAME if ns.swa_start else BEST_NAME
     ckpt = load_checkpoint(os.path.join(ns.model_dir, name))
     params = ckpt["swa_params"] if ns.swa_start else ckpt["params"]

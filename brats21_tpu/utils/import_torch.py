@@ -17,11 +17,19 @@ tests/test_full_model_parity.py):
   * EvoNorm gamma/beta/v (1, C, 1, 1, 1) (equiunet2021.py:75-78) → (c,)
   * GroupNorm weight/bias (c,)        → scale/bias (c,)
 
-Supported families: ``equiunet`` / ``unet`` / ``equiunet_assp_evo`` (the
-published Models 1/6 lineage). The translation is table-free: each flax
-param path is rewritten to its reference state_dict key by the per-family
-rules below, so any width / num_classes / deep-supervision configuration
-works, and unconsumed or missing keys are hard errors.
+Supported families: the equiunet lineage (``equiunet`` / ``equiunet_ref``
+/ ``att_equiunet`` / ``equiunet_assp_evo`` — the published Models 1/6) and
+the whole in-repo unet_family (``modified_unet`` / ``r2unet`` /
+``att_unet`` / ``r2attunet``, reference networks/unet_family.py). The
+translation is table-free: each flax param path is rewritten to its
+reference state_dict key by the per-family rules below, so any width /
+num_classes / deep-supervision configuration works, and unconsumed or
+missing keys are hard errors.
+
+The attention gates' ``nn.BatchNorm3d`` (unet_family.py:107-121) carries
+``running_mean``/``running_var`` state — those import into the flax
+``batch_stats`` collection (pass ``flax_batch_stats``, or use
+:func:`import_checkpoint`, which returns a full variables dict).
 """
 
 from __future__ import annotations
@@ -37,7 +45,8 @@ __all__ = ["load_torch_state_dict", "state_dict_to_flax",
            "import_checkpoint", "SUPPORTED_MODELS"]
 
 SUPPORTED_MODELS = ("equiunet", "equiunet_ref", "att_equiunet",
-                    "equiunet_assp_evo")
+                    "equiunet_assp_evo",
+                    "modified_unet", "r2unet", "att_unet", "r2attunet")
 
 
 # ---------------------------------------------------------------------------
@@ -104,9 +113,9 @@ def _torch_key_equiunet(path: Sequence[str]) -> Tuple[str, str]:
         mod = ".".join(parts[:-2])     # e.g. encoder1.ConvBnRelu1.conv
         return f"{mod}.{_wb(leaf)}", ("conv_w" if leaf == "kernel"
                                       else "vec")
-    if parts[-2] == "bn":              # GroupNorm scale/bias
+    if parts[-2] == "bn":              # norm scale/bias (+ BN stats)
         mod = ".".join(parts[:-2])
-        return f"{mod}.bn.{'weight' if leaf == 'scale' else 'bias'}", "vec"
+        return f"{mod}.bn.{_wb(leaf)}", "vec"
     raise KeyError(f"equiunet: unmapped flax path {'/'.join(parts)}")
 
 
@@ -187,13 +196,64 @@ def _torch_key_att_equiunet(path: Sequence[str]) -> Tuple[str, str]:
         if parts[i + 1] == "spatial_conv":
             return (f"{prefix}.spatial.conv.{_wb(leaf)}",
                     "conv_w" if leaf == "kernel" else "vec")
-        return (f"{prefix}.spatial.bn."
-                f"{'weight' if leaf == 'scale' else 'bias'}", "vec")
+        return f"{prefix}.spatial.bn.{_wb(leaf)}", "vec"
     return _torch_key_equiunet(parts)
 
 
 def _wb(leaf: str) -> str:
-    return "weight" if leaf in ("kernel", "scale") else "bias"
+    return {"kernel": "weight", "scale": "weight", "bias": "bias",
+            "mean": "running_mean", "var": "running_var"}[leaf]
+
+
+def _make_unet_family_rule(recurrent: bool, norm: str = "group"):
+    """Rule factory for the unet_family models (unet_family.py:134-500).
+
+    torch modules: ``ConvBlock.conv`` = Sequential[conv, norm?, act, conv,
+    norm?, act] (:13-35 — conv2 at index 3 with a norm, 2 without);
+    ``UpConv.up`` = Sequential[Upsample, conv, norm?, act] (:38-57);
+    ``RRCNNblock`` = {Conv_1x1, RCNN: Sequential[RecurrentBlock×2]} where
+    each RecurrentBlock's ``conv`` = Sequential[conv, norm?, act]
+    (:60-101); ``AttentionBlock`` gates = Sequential[conv1x1, BatchNorm3d]
+    (:104-123, BatchNorm regardless of the model norm). The recurrent
+    models name their blocks RRCNNn / Up_RRCNNn instead of Convn /
+    Up_convn (:233-254 vs :146-164); flax uses the Conv naming for all
+    four (models/unet_family.py:_FamilyBase), so the rule renames."""
+    has_norm = norm not in (None, "none")
+
+    def rule(parts: Sequence[str]) -> Tuple[str, str]:
+        leaf = parts[-1]
+        block = parts[0]
+        kind = "conv_w" if leaf == "kernel" else "vec"
+        if block == "Conv_1x1" or block.startswith("outconv"):
+            return f"{block}.{_wb(leaf)}", kind
+        if block.startswith("Att"):
+            gate = {"W_g": ("W_g", "0"), "bn_g": ("W_g", "1"),
+                    "W_x": ("W_x", "0"), "bn_x": ("W_x", "1"),
+                    "psi": ("psi", "0"), "bn_psi": ("psi", "1")}[parts[1]]
+            return f"{block}.{gate[0]}.{gate[1]}.{_wb(leaf)}", kind
+        if block.startswith("Up") and not block.startswith("Up_conv"):
+            idx = {"conv": "1", "norm": "2"}[parts[1]]
+            return f"{block}.up.{idx}.{_wb(leaf)}", kind
+        # encoder (Convn) / decoder (Up_convn) blocks
+        tblock = block
+        if recurrent:
+            if block.startswith("Up_conv"):
+                tblock = "Up_RRCNN" + block[len("Up_conv"):]
+            elif block.startswith("Conv"):
+                tblock = "RRCNN" + block[len("Conv"):]
+            if parts[1] == "conv_1x1":
+                return f"{tblock}.Conv_1x1.{_wb(leaf)}", kind
+            rec = {"rec1": "0", "rec2": "1"}[parts[1]]
+            idx = {"conv": "0", "norm": "1"}[parts[2]]
+            return f"{tblock}.RCNN.{rec}.conv.{idx}.{_wb(leaf)}", kind
+        if has_norm:
+            idx = {"conv1": "0", "norm1": "1",
+                   "conv2": "3", "norm2": "4"}[parts[1]]
+        else:
+            idx = {"conv1": "0", "conv2": "2"}[parts[1]]
+        return f"{tblock}.conv.{idx}.{_wb(leaf)}", kind
+
+    return rule
 
 
 _FAMILY_RULES = {
@@ -205,6 +265,19 @@ _FAMILY_RULES = {
     "att_equiunet": _torch_key_att_equiunet,
     "equiunet_assp_evo": _torch_key_assp_evo,
 }
+
+_UNET_FAMILY = {"modified_unet": False, "att_unet": False,
+                "r2unet": True, "r2attunet": True}
+
+
+def _rule_for(model_name: str, norm: str = "group"):
+    if model_name in _FAMILY_RULES:
+        return _FAMILY_RULES[model_name]
+    if model_name in _UNET_FAMILY:
+        return _make_unet_family_rule(_UNET_FAMILY[model_name], norm)
+    raise NotImplementedError(
+        f"torch import for '{model_name}' not supported "
+        f"(supported: {SUPPORTED_MODELS})")
 
 
 # ---------------------------------------------------------------------------
@@ -228,21 +301,27 @@ def _convert(arr: np.ndarray, kind: str, want_shape) -> np.ndarray:
 
 
 def state_dict_to_flax(sd: Dict[str, np.ndarray], model_name: str,
-                       flax_params: Any) -> Any:
+                       flax_params: Any, flax_batch_stats: Any = None,
+                       norm: str = "group") -> Any:
     """Rewrite a reference state_dict into the given flax param tree's
     structure. ``flax_params`` supplies the target structure/shapes (from
     ``model.init``); every flax leaf must resolve, and every torch tensor
-    must be consumed (num_batches_tracked-style buffers excepted)."""
+    must be consumed (num_batches_tracked-style buffers excepted).
+
+    When the model carries running statistics (the unet_family attention
+    gates' BatchNorm3d), pass the ``batch_stats`` tree from ``model.init``
+    as ``flax_batch_stats``; the return value is then the pair
+    ``(params, batch_stats)``. ``norm`` is the model's norm-layer name —
+    it shifts the reference's Sequential indices (unet_family.py:17-31)."""
     import jax
-    if model_name not in _FAMILY_RULES:
-        raise NotImplementedError(
-            f"torch import for '{model_name}' not supported "
-            f"(supported: {SUPPORTED_MODELS})")
-    rule = _FAMILY_RULES[model_name]
+    rule = _rule_for(model_name, norm)
     used = set()
 
     def fill(path, leaf):
-        parts = [str(getattr(p, "key", p)) for p in path]
+        # layers.BatchNorm nests flax's under "BatchNorm_0" — drop it so
+        # every family rule sees the same structure as with other norms
+        parts = [str(getattr(p, "key", p)) for p in path
+                 if str(getattr(p, "key", p)) != "BatchNorm_0"]
         tkey, kind = rule(parts)
         if tkey not in sd:
             raise KeyError(
@@ -252,35 +331,51 @@ def state_dict_to_flax(sd: Dict[str, np.ndarray], model_name: str,
         return _convert(sd[tkey], kind, leaf.shape)
 
     out = jax.tree_util.tree_map_with_path(fill, flax_params)
+    bs_out = (jax.tree_util.tree_map_with_path(fill, flax_batch_stats)
+              if flax_batch_stats is not None else None)
     # ignorable buffers: BN bookkeeping, and EvoNorm's vestigial
     # running_var (registered unconditionally, equiunet2021.py:83, but
     # only read by the B0 variant — the published models are S0)
+    skip_tails = ["num_batches_tracked"]
+    if flax_batch_stats is None:
+        skip_tails += ["running_var"]
     leftovers = [k for k in sd
-                 if k not in used
-                 and not k.endswith(("num_batches_tracked", "running_var"))]
+                 if k not in used and not k.endswith(tuple(skip_tails))]
     if leftovers:
         raise ValueError(
             f"torch checkpoint has {len(leftovers)} unconsumed tensors "
             f"(architecture mismatch?): {sorted(leftovers)[:8]} ...")
-    return out
+    return out if flax_batch_stats is None else (out, bs_out)
 
 
 def import_checkpoint(path: str, cfg: Any, prefer_swa: bool = False) -> Any:
-    """One-call import: .pth → flax params for ``get_model(cfg)``.
+    """One-call import: .pth → flax variables for ``get_model(cfg)``.
 
-    Returns the params tree; shapes are validated against a fresh
-    ``model.init`` on a tiny volume."""
+    Returns a variables dict — ``{"params": ...}`` plus ``"batch_stats"``
+    when the model carries running statistics (unet_family attention
+    gates). Shapes are validated against a fresh ``model.init`` on a tiny
+    volume."""
     import jax
     import jax.numpy as jnp
 
     from ..models import get_model
 
     model = get_model(cfg)
-    name = cfg.model if not isinstance(cfg, dict) else cfg["model"]
+    get = cfg.get if isinstance(cfg, dict) else (
+        lambda k, d=None: getattr(cfg, k, d))
+    name = get("model")
     sample = jnp.zeros((1, 16, 16, 16, 4), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), sample)
     sd = load_torch_state_dict(path, prefer_swa=prefer_swa)
-    params = state_dict_to_flax(sd, name, variables["params"])
+    norm = get("norm", "group") or "group"
+    if "batch_stats" in variables:
+        params, bs = state_dict_to_flax(sd, name, variables["params"],
+                                        variables["batch_stats"], norm=norm)
+        result = {"params": params, "batch_stats": bs}
+    else:
+        result = {"params": state_dict_to_flax(sd, name,
+                                               variables["params"],
+                                               norm=norm)}
     logger.info("imported %d torch tensors from %s into '%s'",
                 len(sd), path, name)
-    return params
+    return result

@@ -241,7 +241,7 @@ def test_import_equiunet_pth_forward_parity(tmp_path, rng):
     torch.save({"epoch": 42, "model": tm.state_dict()}, pth)
 
     cfg = TrainConfig(model="equiunet", width=8, norm="group", act="relu")
-    params = import_checkpoint(pth, cfg)
+    params = import_checkpoint(pth, cfg)["params"]
 
     from brats21_tpu.models import get_model
     model = get_model(cfg)
@@ -265,7 +265,7 @@ def test_import_assp_evo_pth_forward_parity(tmp_path, rng):
     torch.save({"model": tm.state_dict()}, pth)
 
     cfg = TrainConfig(model="equiunet_assp_evo", width=8)
-    params = import_checkpoint(pth, cfg)
+    params = import_checkpoint(pth, cfg)["params"]
 
     from brats21_tpu.models import get_model
     model = get_model(cfg)
@@ -300,7 +300,7 @@ def test_import_swa_averaged_model(tmp_path):
         tm.encoder1.conv_conv_se[0].weight.detach().numpy())
 
     cfg = TrainConfig(model="equiunet_assp_evo", width=8)
-    params = import_checkpoint(pth, cfg, prefer_swa=True)
+    params = import_checkpoint(pth, cfg, prefer_swa=True)["params"]
     got = np.asarray(params["encoder1"]["conv1"]["Conv_0"]["kernel"])
     want = tm.encoder1.conv_conv_se[0].weight.detach().numpy().transpose(
         2, 3, 4, 1, 0)
@@ -374,7 +374,7 @@ def test_imported_weights_give_identical_labels(tmp_path, rng):
     pth = str(tmp_path / "best_model.pth")
     torch.save({"model": tm.state_dict()}, pth)
     cfg = TrainConfig(model="equiunet_assp_evo", width=8)
-    params = import_checkpoint(pth, cfg)
+    params = import_checkpoint(pth, cfg)["params"]
 
     from brats21_tpu.models import get_model
     model = get_model(cfg)
@@ -547,7 +547,7 @@ def test_import_att_equiunet_pth_forward_parity(tmp_path, rng):
 
     cfg = TrainConfig(model="att_equiunet", width=16, norm="group",
                       act="relu")
-    params = import_checkpoint(pth, cfg)
+    params = import_checkpoint(pth, cfg)["params"]
     from brats21_tpu.models import get_model
     model = get_model(cfg)
     x = rng.standard_normal((1, 16, 16, 16, 4)).astype(np.float32)
@@ -570,7 +570,7 @@ def test_import_equiunet_ref_pth_forward_parity(tmp_path, rng):
 
     cfg = TrainConfig(model="equiunet_ref", width=8, norm="group",
                       act="relu")
-    params = import_checkpoint(pth, cfg)
+    params = import_checkpoint(pth, cfg)["params"]
     from brats21_tpu.models import get_model
     model = get_model(cfg)
     # 32³: RefUnet's 4 ceil-pools bottom out at 2³ — torch GroupNorm
