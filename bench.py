@@ -14,6 +14,9 @@ BASELINE.md — the torch-CPU number is measured here once and cached in
 Env knobs: BENCH_VOLUMES (default 12 timed volumes), BENCH_SKIP_BASELINE=1,
 BENCH_WIRE=dense, BENCH_WIRE_BITS (0 disables the narrow bitstream, N
 forces width N), BENCH_WARMUP_S (steady-state warm-up budget, default 75).
+BENCH_TRAIN=1 measures the TRAINING step instead (dice+Ranger on a
+BENCH_TRAIN_PATCH³ patch, BENCH_TRAIN_STEPS timed steps, steps/min vs a
+torch-CPU train-step baseline cached in .bench_baseline_train.json).
 
 Relay-weather hardening (VERDICT r3 #1/#3): the measurement runs in a CHILD
 process retried up to BENCH_RETRIES times (default 3, BENCH_RETRY_BACKOFF s
@@ -286,18 +289,109 @@ def bench_tpu() -> float:
     return vpm
 
 
-def bench_torch_cpu_baseline() -> float:
-    """The reference's execution model: same-architecture PyTorch forward on
-    CPU (torch-cpu is what ships in this image; reference asserts CUDA but
-    publishes no throughput — BASELINE.md)."""
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            v = json.load(f)["volumes_per_min"]
-        log(f"baseline (cached): {v:.3f} volumes/min")
+def bench_train() -> float:
+    """BENCH_TRAIN=1: steps/min of the jitted flagship TRAIN step —
+    equiunet_assp_evo width-48, 128³ patch, dice loss, Ranger, bf16
+    activations, remat_mode=norm (the measured-best default) — the
+    reference training recipe (README.md:103-121; engine.py:105-130).
+
+    Device-resident batches: on a real TPU VM the ~19 MB/step H2D is
+    ~2 ms over PCIe and the engine's double-buffered train wire hides it
+    anyway (learning/engine.py); through this host's relay tunnel it
+    would only measure tunnel weather (docs/BENCHMARKS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from brats21_tpu.config import TrainConfig
+    from brats21_tpu.learning.losses import make_criterion
+    from brats21_tpu.learning.optimizers import make_optimizer
+    from brats21_tpu.learning.train_state import (create_train_state,
+                                                  make_train_step)
+    from brats21_tpu.models import get_model
+
+    patch = int(os.environ.get("BENCH_TRAIN_PATCH", "128"))
+    cfg = TrainConfig(model="equiunet_assp_evo", width=WIDTH,
+                      criterion="dice", optimizer="ranger",
+                      remat_mode="norm")
+    model = get_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, patch, patch, patch, 4), jnp.float32)
+    log(f"devices={jax.devices()} train patch={patch}^3 width={WIDTH}")
+    state = create_train_state(model, tx, rng, sample)
+    step = make_train_step(make_criterion(cfg), use_amp=True)
+
+    # a few distinct device-resident batches so nothing is result-cached
+    host = np.random.default_rng(0)
+    imgs = [jnp.asarray(host.standard_normal(
+        (1, patch, patch, patch, 4)).astype(np.float32)) for _ in range(3)]
+    segs = [jnp.asarray((host.random(
+        (1, patch, patch, patch, 3)) < 0.2).astype(np.float32))
+        for _ in range(3)]
+
+    t0 = time.time()
+    state, m = step(state, imgs[0], segs[0], rng)
+    loss0 = float(m["loss"])   # D2H forces execution (relay gotcha)
+    log(f"train compile+first step: {time.time() - t0:.1f}s loss={loss0:.4f}")
+    for i in range(1, 4):      # warm-up steps
+        state, m = step(state, imgs[i % 3], segs[i % 3], rng)
+    float(m["loss"])
+
+    n = int(os.environ.get("BENCH_TRAIN_STEPS", "24"))
+    t0 = time.time()
+    for i in range(n):
+        state, m = step(state, imgs[i % 3], segs[i % 3], rng)
+    final = float(m["loss"])   # one sync: steps chain on device like an epoch
+    dt = time.time() - t0
+    spm = n / dt * 60.0
+    log(f"train: {n} steps in {dt:.2f}s -> {spm:.2f} steps/min "
+        f"({dt / n * 1e3:.0f} ms/step, loss={final:.4f})")
+    return spm
+
+
+def bench_torch_cpu_train_baseline() -> float:
+    """Reference execution model for training: same-architecture torch-CPU
+    forward+backward+optimizer step on a 128³ patch (engine.py:105-130).
+    Adam stands in for Ranger — optimizer arithmetic is noise next to the
+    conv backward at this scale. Cached like the inference baseline."""
+    cache = os.path.join(REPO, ".bench_baseline_train.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            v = json.load(f)["steps_per_min"]
+        log(f"train baseline (cached): {v:.4f} steps/min")
         return v
     if os.environ.get("BENCH_SKIP_BASELINE"):
         return float("nan")
 
+    import torch
+
+    patch = int(os.environ.get("BENCH_TRAIN_PATCH", "128"))
+    net = _torch_net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    x = torch.randn(1, 4, patch, patch, patch)
+    seg = (torch.rand(1, 3, patch, patch, patch) < 0.2).float()
+
+    def dice(logits, target):
+        p = torch.sigmoid(logits)
+        num = 2 * (p * target).sum() + 1e-5
+        den = (p * p).sum() + (target * target).sum() + 1e-5
+        return 1 - num / den
+
+    t0 = time.time()
+    opt.zero_grad()
+    dice(net(x), seg).backward()
+    opt.step()
+    dt = time.time() - t0
+    spm = 60.0 / dt
+    log(f"torch-cpu train baseline: 1 step in {dt:.1f}s -> {spm:.4f} steps/min")
+    with open(cache, "w") as f:
+        json.dump({"steps_per_min": spm, "n_iter": 1}, f)
+    return spm
+
+
+def _torch_net():
+    """Compute-equivalent torch EquiUnetASSPEvo (width WIDTH) for the
+    CPU baselines."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
@@ -388,10 +482,27 @@ def bench_torch_cpu_baseline() -> float:
             u1 = self.d1(torch.cat([self.b1(d1), self.up(self.u1(u2))], 1))
             return self.out(u1)
 
+    return Net()
+
+
+def bench_torch_cpu_baseline() -> float:
+    """The reference's execution model: same-architecture PyTorch forward on
+    CPU (torch-cpu is what ships in this image; reference asserts CUDA but
+    publishes no throughput — BASELINE.md)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            v = json.load(f)["volumes_per_min"]
+        log(f"baseline (cached): {v:.3f} volumes/min")
+        return v
+    if os.environ.get("BENCH_SKIP_BASELINE"):
+        return float("nan")
+
+    import torch
+
     img = make_case()
     padded = preprocess(img)
     x = torch.from_numpy(np.moveaxis(padded, -1, 0)[None]).float()
-    net = Net().eval()
+    net = _torch_net().eval()
     n_iter = max(int(os.environ.get("BENCH_BASELINE_VOLUMES", "2")), 1)
     with torch.no_grad():
         t0 = time.time()
@@ -409,7 +520,11 @@ def bench_torch_cpu_baseline() -> float:
     return vpm
 
 
-_METRIC = "equiunet_assp_evo_w48_full_volume_inference"
+_TRAIN = os.environ.get("BENCH_TRAIN") == "1"
+_METRIC = (f"equiunet_assp_evo_w{WIDTH}_train_step_"
+           f"{os.environ.get('BENCH_TRAIN_PATCH', '128')}cube" if _TRAIN
+           else "equiunet_assp_evo_w48_full_volume_inference")
+_UNIT = "steps/min" if _TRAIN else "volumes/min"
 _STAGE = "import"          # coarse progress marker for failure reporting
 
 
@@ -422,10 +537,11 @@ def _set_stage(s: str) -> None:
 def _child_main() -> None:
     """One measurement attempt (runs in a subprocess of main())."""
     _set_stage("tpu_backend_init")
-    tpu_vpm = bench_tpu()
+    tpu_vpm = bench_train() if _TRAIN else bench_tpu()
     _set_stage("baseline")
     try:
-        base_vpm = bench_torch_cpu_baseline()
+        base_vpm = (bench_torch_cpu_train_baseline() if _TRAIN
+                    else bench_torch_cpu_baseline())
     except Exception as e:  # baseline failure must not kill the bench
         log(f"baseline failed: {e}")
         base_vpm = float("nan")
@@ -433,7 +549,7 @@ def _child_main() -> None:
     print(json.dumps({
         "metric": _METRIC,
         "value": round(tpu_vpm, 3),
-        "unit": "volumes/min",
+        "unit": _UNIT,
         "vs_baseline": round(ratio, 2) if ratio else None,
     }), flush=True)
 
@@ -445,7 +561,7 @@ def main() -> None:
         except BaseException as e:  # noqa: BLE001 — stage goes to parent
             log(f"[bench failed at stage={_STAGE}] {type(e).__name__}: {e}")
             print(json.dumps({"metric": _METRIC, "value": None,
-                              "unit": "volumes/min", "vs_baseline": None,
+                              "unit": _UNIT, "vs_baseline": None,
                               "error": f"{type(e).__name__}: {e}"[:500],
                               "stage": _STAGE}), flush=True)
             sys.exit(1)
@@ -486,7 +602,7 @@ def main() -> None:
         rec = json.loads(last_line)
         assert isinstance(rec, dict) and "metric" in rec
     except Exception:  # noqa: BLE001
-        rec = {"metric": _METRIC, "value": None, "unit": "volumes/min",
+        rec = {"metric": _METRIC, "value": None, "unit": _UNIT,
                "vs_baseline": None, "error": "no child diagnostics",
                "stage": "timeout_or_crash"}
     rec["attempts"] = retries

@@ -69,18 +69,20 @@ class BasicUNet(nn.Module):
         x4 = TwoConv(f[4], self.norm, self.act, self.dropout, name="down_4")(
             max_pool3d(x3), det)
 
-        def upcat(a, skip, ch, name):
-            up = nn.ConvTranspose(ch, (2, 2, 2), strides=(2, 2, 2),
+        def upcat(a, skip, up_ch, out_ch, name):
+            up = nn.ConvTranspose(up_ch, (2, 2, 2), strides=(2, 2, 2),
                                   dtype=a.dtype, param_dtype=jnp.float32,
                                   name=f"{name}_upconv")(a)
-            return TwoConv(ch, self.norm, self.act, self.dropout,
+            return TwoConv(out_ch, self.norm, self.act, self.dropout,
                            name=f"{name}_convs")(
                 jnp.concatenate([skip, up], axis=-1), det)
 
-        u4 = upcat(x4, x3, f[3], "upcat_4")
-        u3 = upcat(u4, x2, f[2], "upcat_3")
-        u2 = upcat(u3, x1, f[1], "upcat_2")
-        u1 = upcat(u2, x0, f[5], "upcat_1")
+        u4 = upcat(x4, x3, f[3], f[3], "upcat_4")
+        u3 = upcat(u4, x2, f[2], f[2], "upcat_3")
+        u2 = upcat(u3, x1, f[1], f[1], "upcat_2")
+        # MONAI's upcat_1 is halves=False: the deconv keeps f[1] channels
+        # and only the TwoConv narrows to the final width f[5]
+        u1 = upcat(u2, x0, f[1], f[5], "upcat_1")
         return Conv3d(self.num_classes, 1, name="final_conv")(u1)
 
 

@@ -3,7 +3,7 @@
 Captures the perf surface that previously lived only in docs/BENCHMARKS.md
 prose as ONE re-runnable script + JSON artifact:
 
-    {w48_sparse, w48_dense, w64_sparse, w48_tta16, cli_e2e}
+    {w48_sparse, w48_dense, w64_sparse, w48_tta16, w48_train, cli_e2e}
 
 Each device row is a child `python bench.py` run with env knobs (so a
 backend poisoning or relay outage in one row can't kill the rest; bench.py
@@ -37,6 +37,7 @@ DEVICE_ROWS = {
     "w64_sparse": {"BENCH_WIDTH": "64"},
     "w48_tta16": {"BENCH_TTA": "1",
                   "BENCH_VOLUMES": os.environ.get("BENCH_TTA_VOLUMES", "8")},
+    "w48_train": {"BENCH_TRAIN": "1"},
 }
 
 

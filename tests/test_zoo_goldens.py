@@ -81,14 +81,16 @@ class TorchBasicUNet(tnn.Module):
         self.conv_0 = TorchTwoConv(4, f[0])
         self.down = tnn.ModuleList(
             [TorchTwoConv(f[i], f[i + 1]) for i in range(4)])
-        # upcat i: input (x_next, skip) -> ConvTranspose(ch) + TwoConv(ch)
-        chans = [(f[4], f[3], f[3]), (f[3], f[2], f[2]),
-                 (f[2], f[1], f[1]), (f[1], f[0], f[5])]
+        # upcat i: (cin, skip, up_ch, out_ch); upcat_1 is halves=False in
+        # MONAI (the deconv keeps f[1] channels, TwoConv narrows to f[5])
+        chans = [(f[4], f[3], f[3], f[3]), (f[3], f[2], f[2], f[2]),
+                 (f[2], f[1], f[1], f[1]), (f[1], f[0], f[1], f[5])]
         self.upconvs = tnn.ModuleList(
-            [tnn.ConvTranspose3d(cin, ch, 2, stride=2)
-             for cin, _, ch in chans])
+            [tnn.ConvTranspose3d(cin, up_ch, 2, stride=2)
+             for cin, _, up_ch, _ in chans])
         self.upconvs2 = tnn.ModuleList(
-            [TorchTwoConv(skip + ch, ch) for _, skip, ch in chans])
+            [TorchTwoConv(skip + up_ch, out_ch)
+             for _, skip, up_ch, out_ch in chans])
         self.final = tnn.Conv3d(f[5], num_classes, 1)
 
     def forward(self, x):
