@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (Array, Conv3d, Dropout, GroupNorm, InstanceNorm,
+from .layers import (Array, BatchNorm, Conv3d, Dropout, GroupNorm,
                      get_act, get_norm_layer, max_pool3d, upsample)
 
 
@@ -191,33 +191,45 @@ class SegResNetVAE(nn.Module):
         x = jax.nn.relu(x)
         seg = Conv3d(self.num_classes, 1, name="conv_final")(x)
 
-        # VAE branch on the bottom features
+        # VAE branch on the bottom features — mirrors MONAI SegResNetVAE's
+        # module structure (vae_down = [norm, act, conv(bias), norm, act];
+        # vae_fc1/2 = μ and softplus-σ heads; vae_fc_up_sample = [conv1x1,
+        # upsample, norm, act]; then the shared-shape decoder stages and a
+        # [norm, act, conv] reconstruction head), so reference-trained
+        # checkpoints map tensor-for-tensor (utils/import_torch.py)
         v = GroupNorm(8, name="vae_norm")(bottom)
         v = jax.nn.relu(v)
-        v = Conv3d(16, 3, stride=2, use_bias=False, name="vae_down")(v)
+        v = Conv3d(16, 3, stride=2, name="vae_down")(v)
+        v = GroupNorm(8, name="vae_down_norm")(v)
+        v = jax.nn.relu(v)
         flat = v.reshape(v.shape[0], -1)
         mu = nn.Dense(self.vae_nz, param_dtype=jnp.float32, name="vae_mu")(flat)
-        logvar = nn.Dense(self.vae_nz, param_dtype=jnp.float32,
-                          name="vae_logvar")(flat)
+        sigma = jax.nn.softplus(nn.Dense(
+            self.vae_nz, param_dtype=jnp.float32, name="vae_sigma")(flat))
         if deterministic:
             z = mu
         else:
             eps = jax.random.normal(self.make_rng("dropout"), mu.shape,
                                     jnp.float32)
-            z = mu + jnp.exp(0.5 * logvar) * eps
+            z = mu + sigma * eps
         d = nn.Dense(flat.shape[-1], param_dtype=jnp.float32,
                      name="vae_fc_up")(z)
         d = jax.nn.relu(d).reshape(v.shape)
-        d = upsample(Conv3d(f * 8, 1, name="vae_up_conv")(d), 2,
+        d = upsample(Conv3d(f * 8, 1, use_bias=False,
+                            name="vae_up_conv")(d), 2,
                      align_corners=False)
+        d = GroupNorm(8, name="vae_up_norm")(d)
+        d = jax.nn.relu(d)
         for i in range(3):
             ch = f * 2 ** (2 - i)
             d = Conv3d(ch, 1, use_bias=False, name=f"vae_up_{i}")(d)
             d = upsample(d, 2, align_corners=False)
             d = ResBlock(name=f"vae_up_block_{i}")(d)
+        d = GroupNorm(min(8, d.shape[-1]), name="vae_final_norm")(d)
+        d = jax.nn.relu(d)
         recon = Conv3d(xin.shape[-1], 1, name="vae_recon")(d)
-        vae_loss = jnp.mean((recon - xin) ** 2) + 1e-3 * jnp.mean(
-            mu ** 2 + jnp.exp(logvar) - logvar - 1)
+        vae_loss = jnp.mean((recon - xin) ** 2) + 0.5 * jnp.mean(
+            mu ** 2 + sigma ** 2 - jnp.log(sigma ** 2 + 1e-8) - 1)
         return seg, {"vae_loss": vae_loss.astype(jnp.float32)}
 
 
@@ -227,7 +239,9 @@ class SegResNetVAE(nn.Module):
 
 
 class HighResBlock(nn.Module):
-    """(norm → act → dilated conv) ×2 with residual (MONAI HighResBlock)."""
+    """(norm → act → dilated conv) ×2 with channel-pad residual (MONAI
+    HighResBlock, channel_matching='pad'; convs keep torch's default
+    bias=True — in this pre-activation layout the conv is the last op)."""
 
     ch: int
     dilation: int
@@ -236,14 +250,13 @@ class HighResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        norm_ctor = get_norm_layer(self.norm if self.norm != "batch"
-                                   else "instance")
+        norm_ctor = get_norm_layer(self.norm)
         y = x
         for i in range(2):
             if norm_ctor is not None:
                 y = norm_ctor(name=f"norm_{i}")(y)
             y = get_act(self.act)(y)
-            y = Conv3d(self.ch, 3, dilation=self.dilation, use_bias=False,
+            y = Conv3d(self.ch, 3, dilation=self.dilation,
                        name=f"conv_{i}")(y)
         if x.shape[-1] != self.ch:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
@@ -253,7 +266,13 @@ class HighResBlock(nn.Module):
 
 class HighResNet(nn.Module):
     """Dilated residual network (MONAI HighResNet defaults: 3 groups of 3
-    blocks at dilations 1/2/4, widths 16/32/64; definer.py:111-119)."""
+    blocks at dilations 1/2/4, widths 16/32/64; definer.py:111-119).
+
+    Layout mirrors MONAI's blocks Sequential: ConvNormActi(conv→norm→act),
+    9 HighResBlocks, ConvNormActi(80, k1, +dropout), and a bare final conv
+    — so reference checkpoints map tensor-for-tensor
+    (utils/import_torch.py `_make_highresnet_rule`). norm='batch' is a real
+    running-stats BatchNorm (MONAI's default ('batch', {'affine': True}))."""
 
     num_classes: int = 3
     act: str = "relu"
@@ -262,9 +281,8 @@ class HighResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        x = Conv3d(16, 3, use_bias=False, name="conv_init")(x)
-        norm_ctor = get_norm_layer(self.norm if self.norm != "batch"
-                                   else "instance")
+        norm_ctor = get_norm_layer(self.norm)
+        x = Conv3d(16, 3, name="conv_init")(x)
         if norm_ctor is not None:
             x = norm_ctor(name="norm_init")(x)
         x = get_act(self.act)(x)
@@ -272,7 +290,7 @@ class HighResNet(nn.Module):
             for bi in range(3):
                 x = HighResBlock(ch, dil, self.norm, self.act,
                                  name=f"res_{gi}_{bi}")(x)
-        x = Conv3d(80, 1, use_bias=False, name="conv_penult")(x)
+        x = Conv3d(80, 1, name="conv_penult")(x)
         if norm_ctor is not None:
             x = norm_ctor(name="norm_penult")(x)
         x = get_act(self.act)(x)
@@ -285,23 +303,103 @@ class HighResNet(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-class _VNetConvs(nn.Module):
+class _VLUConvs(nn.Module):
+    """MONAI ``_make_nconv``: a chain of LUConvs — 5³ conv(bias) →
+    BatchNorm → act (vnet.py LUConv: Convolution(k5, act=None, norm=BATCH)
+    followed by the activation)."""
+
     ch: int
     n: int
     act: str = "elu"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        for i in range(self.n):
-            x = Conv3d(self.ch, 5, padding=2, name=f"conv_{i}")(x)
-            x = InstanceNorm(name=f"norm_{i}")(x)
+        for k in range(self.n):
+            x = Conv3d(self.ch, 5, padding=2, name=f"ops_{k}_conv")(x)
+            x = BatchNorm(name=f"ops_{k}_norm")(x)
             x = get_act(self.act)(x)
         return x
 
 
+class _VInputTransition(nn.Module):
+    """MONAI InputTransition: 5³ conv→BN, residual add of the
+    channel-tiled input, then act."""
+
+    act: str = "elu"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = Conv3d(16, 5, padding=2, name="conv")(x)
+        out = BatchNorm(name="norm")(out)
+        rep = 16 // x.shape[-1]
+        return get_act(self.act)(out + jnp.tile(x, (1, 1, 1, 1, rep)))
+
+
+class _VDownTransition(nn.Module):
+    """MONAI DownTransition: 2³/s2 conv→BN→act, optional dropout, LUConv
+    chain, residual add, act."""
+
+    out_ch: int
+    nconvs: int
+    act: str = "elu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        down = Conv3d(self.out_ch, 2, stride=2, padding=0,
+                      name="down_conv")(x)
+        down = get_act(self.act)(BatchNorm(name="bn1")(down))
+        out = Dropout(self.dropout)(down, deterministic)
+        out = _VLUConvs(self.out_ch, self.nconvs, self.act, name="ops")(out)
+        return get_act(self.act)(out + down)
+
+
+class _VUpTransition(nn.Module):
+    """MONAI UpTransition: dropout(x) + ALWAYS dropout(0.5) on the skip,
+    2³/s2 transposed conv→BN→act, concat, LUConv chain, residual add,
+    act."""
+
+    out_ch: int
+    nconvs: int
+    act: str = "elu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, skip: Array,
+                 deterministic: bool = True) -> Array:
+        out = Dropout(self.dropout)(x, deterministic)
+        skip = Dropout(0.5)(skip, deterministic)
+        up = nn.ConvTranspose(self.out_ch // 2, (2, 2, 2), strides=(2, 2, 2),
+                              dtype=out.dtype, param_dtype=jnp.float32,
+                              name="up_conv")(out)
+        up = get_act(self.act)(BatchNorm(name="bn1")(up))
+        xcat = jnp.concatenate([up, skip], axis=-1)
+        y = _VLUConvs(self.out_ch, self.nconvs, self.act, name="ops")(xcat)
+        return get_act(self.act)(y + xcat)
+
+
+class _VOutputTransition(nn.Module):
+    """MONAI OutputTransition: 5³ conv→BN→act then a 1×1 conv at
+    num_classes channels."""
+
+    num_classes: int
+    act: str = "elu"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = Conv3d(self.num_classes, 5, padding=2, name="conv")(x)
+        out = get_act(self.act)(BatchNorm(name="norm")(out))
+        return Conv3d(self.num_classes, 1, name="conv2")(out)
+
+
 class VNet(nn.Module):
-    """V-Net (Milletari et al.; MONAI VNet layout): 5³ convs, residual
-    down/up transitions with strided/transposed 2³ convs."""
+    """V-Net (Milletari et al.) in MONAI's exact layout (vnet.py;
+    definer.py:120-127): in_tr / down_tr{32,64,128,256} (1,2,3,2 LUConvs) /
+    up_tr{256,128,64,32} (2,2,1,1 LUConvs) / out_tr, batch-norm running
+    stats throughout, dropout on the two deepest down/up transitions plus
+    MONAI's fixed 0.5 skip dropout in every up transition (train only) —
+    reference checkpoints map tensor-for-tensor (utils/import_torch.py
+    `_torch_key_vnet`)."""
 
     num_classes: int = 3
     act: str = "elu"
@@ -310,30 +408,22 @@ class VNet(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         det = deterministic
-        widths = (16, 32, 64, 128, 256)
-        depths = (1, 2, 3, 3, 3)
-        # input: conv then residual broadcast of input channels
-        y = _VNetConvs(widths[0], depths[0], self.act, name="in_tr")(x)
-        rep = widths[0] // x.shape[-1]
-        y = y + jnp.tile(x, (1, 1, 1, 1, rep))
-        skips = [y]
-        for i in range(1, 5):
-            down = Conv3d(widths[i], 2, stride=2, padding=0,
-                          name=f"down_conv_{i}")(skips[-1])
-            down = InstanceNorm(name=f"down_norm_{i}")(down)
-            down = get_act(self.act)(down)
-            z = _VNetConvs(widths[i], depths[i], self.act, name=f"down_tr_{i}")(down)
-            z = Dropout(self.dropout)(z, det)
-            skips.append(z + down)
-        y = skips[-1]
-        for i in range(4, 0, -1):
-            up = nn.ConvTranspose(widths[i] // 2, (2, 2, 2), strides=(2, 2, 2),
-                                  dtype=y.dtype, param_dtype=jnp.float32,
-                                  name=f"up_conv_{i}")(y)
-            up = InstanceNorm(name=f"up_norm_{i}")(up)
-            up = get_act(self.act)(up)
-            cat = jnp.concatenate([up, skips[i - 1]], axis=-1)
-            z = _VNetConvs(cat.shape[-1], depths[i] if i > 1 else 1,
-                           self.act, name=f"up_tr_{i}")(cat)
-            y = z + cat
-        return Conv3d(self.num_classes, 1, name="out_conv")(y)
+        y16 = _VInputTransition(self.act, name="in_tr")(x)
+        d32 = _VDownTransition(32, 1, self.act, 0.0, name="down_tr32")(
+            y16, det)
+        d64 = _VDownTransition(64, 2, self.act, 0.0, name="down_tr64")(
+            d32, det)
+        d128 = _VDownTransition(128, 3, self.act, self.dropout,
+                                name="down_tr128")(d64, det)
+        d256 = _VDownTransition(256, 2, self.act, self.dropout,
+                                name="down_tr256")(d128, det)
+        u256 = _VUpTransition(256, 2, self.act, self.dropout,
+                              name="up_tr256")(d256, d128, det)
+        u128 = _VUpTransition(128, 2, self.act, self.dropout,
+                              name="up_tr128")(u256, d64, det)
+        u64 = _VUpTransition(64, 1, self.act, 0.0, name="up_tr64")(
+            u128, d32, det)
+        u32 = _VUpTransition(32, 1, self.act, 0.0, name="up_tr32")(
+            u64, y16, det)
+        return _VOutputTransition(self.num_classes, self.act,
+                                  name="out_tr")(u32)
