@@ -50,10 +50,13 @@ def make_case(shape: Tuple[int, int, int] = (64, 64, 48), seed: int = 0,
 
 def generate_synthetic_dataset(root: str, num_cases: int = 3,
                                shape: Tuple[int, int, int] = (64, 64, 48),
-                               seed: int = 0, with_seg: bool = True) -> None:
-    """Write ``num_cases`` BraTS-layout patient directories under root."""
+                               seed: int = 0, with_seg: bool = True,
+                               first_case: int = 0) -> None:
+    """Write ``num_cases`` BraTS-layout patient directories under root.
+    ``first_case`` offsets the patient numbering (incremental injection,
+    scripts/bench_serving.py)."""
     affine = np.eye(4)
-    for i in range(num_cases):
+    for i in range(first_case, first_case + num_cases):
         pid = f"BraTS2021_{i:05d}"
         case_dir = os.path.join(root, pid)
         os.makedirs(case_dir, exist_ok=True)

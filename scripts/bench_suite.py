@@ -65,6 +65,36 @@ def run_device_row(name: str, knobs: dict) -> dict:
     return row
 
 
+def write_flagship_run_dir(run_dir: str, width: int = 48) -> None:
+    """A width-``width`` flagship config dir with random weights (synthetic
+    serving measures the pipeline, not the DSC). Runs in a CPU child so
+    weight init never touches the TPU backend."""
+    code = (
+        "import sys; sys.path.insert(0, %r);\n"
+        "import jax, numpy as np\n"
+        "import orbax.checkpoint as ocp\n"
+        "from brats21_tpu.config import TrainConfig\n"
+        "from brats21_tpu.models import get_model\n"
+        "import jax.numpy as jnp, os\n"
+        "cfg = TrainConfig(model='equiunet_assp_evo', width=%d)\n"
+        "cfg.save_path = %r\n"
+        "m = get_model(cfg)\n"
+        "v = m.init(jax.random.PRNGKey(0),"
+        " jnp.zeros((1,16,16,16,4), jnp.float32))\n"
+        "os.makedirs(%r, exist_ok=True)\n"
+        "cfg.to_yaml(os.path.join(%r, 'config.yaml'))\n"
+        "payload = dict(epoch=np.asarray(0), step=np.asarray(0),"
+        " params=jax.tree_util.tree_map(np.asarray, v['params']),"
+        " best_value=np.asarray(0.5, np.float32))\n"
+        "ocp.PyTreeCheckpointer().save("
+        "os.path.join(os.path.abspath(%r), 'best_model'), payload)\n"
+        % (REPO, width, run_dir, run_dir, run_dir, run_dir))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"   # weight init never needs the TPU
+    env.setdefault("PYTHONPATH", REPO)
+    subprocess.run([sys.executable, "-c", code], check=True, env=env)
+
+
 def run_cli_e2e(n_cases: int, shape=(240, 240, 155)) -> dict:
     """End-to-end serving row: synthetic NIfTI on disk → main_inference
     (--on test) → segmentations on disk. Reports wall s/case over the run
@@ -84,33 +114,7 @@ def run_cli_e2e(n_cases: int, shape=(240, 240, 155)) -> dict:
             "generate_synthetic_dataset(%r, num_cases=%d, shape=%r, seed=3,"
             " with_seg=False)" % (REPO, data, n_cases, tuple(shape)))
         subprocess.run([sys.executable, "-c", code], check=True)
-
-        # a width-48 flagship config dir with random weights (synthetic
-        # serving measures the pipeline, not the DSC)
-        code = (
-            "import sys; sys.path.insert(0, %r);\n"
-            "import jax, numpy as np\n"
-            "import orbax.checkpoint as ocp\n"
-            "from brats21_tpu.config import TrainConfig\n"
-            "from brats21_tpu.models import get_model\n"
-            "import jax.numpy as jnp, os\n"
-            "cfg = TrainConfig(model='equiunet_assp_evo', width=48)\n"
-            "cfg.save_path = %r\n"
-            "m = get_model(cfg)\n"
-            "v = m.init(jax.random.PRNGKey(0),"
-            " jnp.zeros((1,16,16,16,4), jnp.float32))\n"
-            "os.makedirs(%r, exist_ok=True)\n"
-            "cfg.to_yaml(os.path.join(%r, 'config.yaml'))\n"
-            "payload = dict(epoch=np.asarray(0), step=np.asarray(0),"
-            " params=jax.tree_util.tree_map(np.asarray, v['params']),"
-            " best_value=np.asarray(0.5, np.float32))\n"
-            "ocp.PyTreeCheckpointer().save("
-            "os.path.join(os.path.abspath(%r), 'best_model'), payload)\n"
-            % (REPO, run_dir, run_dir, run_dir, run_dir))
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"   # weight init never needs the TPU
-        env.setdefault("PYTHONPATH", REPO)
-        subprocess.run([sys.executable, "-c", code], check=True, env=env)
+        write_flagship_run_dir(run_dir)
 
         t0 = time.time()
         env = dict(os.environ)
@@ -150,7 +154,8 @@ def run_cli_e2e(n_cases: int, shape=(240, 240, 155)) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SUITE.json"))
-    ap.add_argument("--rows", default=",".join([*DEVICE_ROWS, "cli_e2e"]))
+    ap.add_argument("--rows",
+                    default=",".join([*DEVICE_ROWS, "cli_e2e", "serving"]))
     ap.add_argument("--cli_cases", type=int,
                     default=int(os.environ.get("BENCH_CLI_CASES", "8")))
     args = ap.parse_args()
@@ -163,6 +168,24 @@ def main() -> None:
                 rows[name] = run_cli_e2e(args.cli_cases)
             except Exception as e:  # noqa: BLE001 — row isolation
                 rows[name] = {"rc": -1, "error": f"{type(e).__name__}: {e}"}
+        elif name == "serving":
+            t0 = time.time()
+            proc = subprocess.run(
+                [sys.executable, "-u",
+                 os.path.join(REPO, "scripts", "bench_serving.py")],
+                stdout=subprocess.PIPE, text=True)
+            row = {"rc": proc.returncode,
+                   "wall_s": round(time.time() - t0, 1)}
+            lines = [ln for ln in proc.stdout.strip().splitlines()
+                     if ln.strip()]
+            if lines:
+                try:
+                    row.update(json.loads(lines[-1]))
+                except json.JSONDecodeError:
+                    row["error"] = lines[-1][:300]
+            log(f"[suite] serving: rc={proc.returncode} "
+                f"p50={row.get('p50_s')}s p95={row.get('p95_s')}s")
+            rows[name] = row
         elif name in DEVICE_ROWS:
             rows[name] = run_device_row(name, DEVICE_ROWS[name])
         else:
