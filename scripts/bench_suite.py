@@ -158,10 +158,19 @@ def main() -> None:
                     default=",".join([*DEVICE_ROWS, "cli_e2e", "serving"]))
     ap.add_argument("--cli_cases", type=int,
                     default=int(os.environ.get("BENCH_CLI_CASES", "8")))
+    ap.add_argument("--merge", action="store_true",
+                    help="update only the requested rows inside an existing "
+                         "--out artifact (recapture a weak row without "
+                         "re-running the whole suite)")
     args = ap.parse_args()
     wanted = [r.strip() for r in args.rows.split(",") if r.strip()]
 
     rows: dict = {}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f).get("rows", {})
+        log(f"[suite] merging into {args.out} "
+            f"(existing rows: {sorted(rows)})")
     for name in wanted:
         if name == "cli_e2e":
             try:
