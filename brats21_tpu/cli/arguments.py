@@ -180,6 +180,16 @@ def build_inference_parser() -> argparse.ArgumentParser:
                    help="poll period in seconds for --watch")
     g.add_argument("--watch_stop_file", type=str, default=None,
                    help="exit the --watch loop when this file appears")
+    g.add_argument("--watch_warmup", type=int, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="compile the serving executables at startup for a "
+                        "case whose cropped foreground shape is X Y Z "
+                        "(bucketized by --eval_bucket), so the FIRST real "
+                        "case serves at steady-state latency instead of "
+                        "paying the XLA compile (~minutes). Use the "
+                        "expected cropped brain extent; any case whose "
+                        "crop falls in the same --eval_bucket cell reuses "
+                        "the executable")
     g.add_argument("--import_pth", type=str, nargs="+", default=None,
                    help="reference torch checkpoint(s) (.pth) to serve "
                         "instead of this framework's checkpoints; one per "

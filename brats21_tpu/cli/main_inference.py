@@ -279,6 +279,55 @@ def main(argv=None) -> None:
             for rec in failures:
                 quarantine(rec, infra_healthy)
 
+        warmup_shape = getattr(cfg0, "watch_warmup", None)
+        if warmup_shape:
+            # compile the serving executables NOW, on a synthetic case of
+            # the declared cropped shape, so the first real case pays
+            # steady-state latency (measured p50 4.3 s) instead of the
+            # XLA compile (~190 s through a remote-compile link). The
+            # warmup volume is nonzero everywhere → the foreground crop is
+            # the identity → the padded shape is exactly
+            # bucketize(warmup_shape), the same executable any real case
+            # whose crop lands in that --eval_bucket cell will reuse.
+            import shutil
+            import tempfile
+
+            import numpy as np
+
+            from ..data.nifti import write_nifti
+            t0 = time.time()
+            wdir = tempfile.mkdtemp(prefix="brats21_watch_warmup_")
+            try:
+                wpid = "BraTSWarmup_00000"
+                cdir = os.path.join(wdir, wpid)
+                os.makedirs(cdir)
+                vol = np.random.default_rng(0).normal(
+                    1000.0, 50.0, size=tuple(warmup_shape)
+                ).astype(np.float32)
+                paths = []
+                for mod in ("t1", "t1ce", "flair", "t2"):
+                    p = os.path.join(cdir, f"{wpid}_{mod}.nii.gz")
+                    write_nifti(p, vol, np.eye(4))
+                    paths.append(p)
+                engine.evaluate(
+                    members,
+                    make_records_loader([{"patient_id": wpid,
+                                          "img": paths}], cfg0), 0,
+                    use_tta=bool(cfg0.tta), save_seg=False,
+                    perform_staple=bool(cfg0.perform_staple),
+                    staple_threshold=cfg0.staple_threshold,
+                    post_kwargs=post_kwargs_from_cfg(cfg0),
+                    step_mode=f"metric_{cfg0.on}")
+                logger.info(
+                    "watch: warmup compile for cropped shape %s done "
+                    "in %.1fs", tuple(warmup_shape), time.time() - t0)
+            except Exception:  # noqa: BLE001 — warmup must never kill
+                logger.exception(
+                    "watch: warmup failed — serving anyway (first case "
+                    "will pay the compile)")
+            finally:
+                shutil.rmtree(wdir, ignore_errors=True)
+
         if my_records:
             segment_batch(my_records)
         logger.info("watch mode: serving %s every %.1fs (%d case(s) done)",

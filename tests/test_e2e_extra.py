@@ -386,3 +386,68 @@ def test_sigterm_graceful_checkpoint(tmp_path, synthetic_case):
                        text=True, timeout=1800)
     # resume epoch may already exceed --epochs 2; either way it must exit 0
     assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+
+
+def test_watch_warmup_precompiles(quick_run, tmp_path):
+    """--watch_warmup: the server compiles the serving executables at
+    startup on a synthetic nonzero-everywhere case of the declared cropped
+    shape (crop = identity -> padded shape = bucketize(declared)), logs the
+    warmup, writes NO warmup artifact, and still serves real cases."""
+    import shutil
+    import threading
+    import time
+
+    from brats21_tpu.data.synthetic import generate_synthetic_dataset
+
+    data = tmp_path / "warm_data"
+    data.mkdir()
+    staging = tmp_path / "warm_staging"
+    generate_synthetic_dataset(str(staging), num_cases=1, shape=(16, 16, 16),
+                               seed=5)
+    case = sorted(os.listdir(staging))[0]
+
+    out = str(tmp_path / "warm_out")
+    stop = tmp_path / "warm_stop"
+    argv = [
+        "--config", os.path.join(quick_run, "config.yaml"),
+        "--on", "test", "--input", str(data), "--output", out,
+        "--num_workers", "1",
+        "--watch", "--watch_interval", "0.3",
+        "--watch_stop_file", str(stop),
+        "--watch_warmup", "16", "16", "16",
+    ]
+    t = threading.Thread(target=infer_main, args=(argv,), daemon=True)
+    t.start()
+
+    def wait_for(pred, timeout=300):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if pred():
+                return True
+            time.sleep(0.3)
+        return False
+
+    # warmup completes BEFORE any real case exists (empty input dir);
+    # the framework logger doesn't propagate to pytest's caplog, so
+    # observe it through the CLI's own logfile
+    logfile = os.path.join(out, "logfile_inference.log")
+
+    def warmup_logged():
+        if not os.path.exists(logfile):
+            return False
+        with open(logfile) as f:
+            return "warmup compile" in f.read()
+
+    assert wait_for(warmup_logged), "warmup never logged"
+
+    seg_dir = os.path.join(out, "Inference_segmentations_test")
+    shutil.move(str(staging / case), str(data / case))
+    assert wait_for(lambda: os.path.exists(
+        os.path.join(seg_dir, f"{case}.nii.gz"))), \
+        "case after warmup never segmented"
+    stop.touch()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    # the warmup case leaves no trace in the output
+    assert not glob.glob(os.path.join(out, "**", "*Warmup*"),
+                         recursive=True)
