@@ -23,7 +23,11 @@ Prints ONE JSON line:
    "mean_s": ..., "cases": N, "first_case_s": compile-inclusive, ...}
 
 Knobs: BENCH_SERVING_CASES (default 10), BENCH_SERVING_SHAPE,
-BENCH_SERVING_TIMEOUT (per-case wait, default 600 s).
+BENCH_SERVING_TIMEOUT (per-case wait, default 600 s),
+BENCH_SERVING_WARMUP=1 (start the server with ``--watch_warmup`` at the
+expected cropped shape and wait for the warmup compile BEFORE injecting —
+the first case then demonstrates steady-state latency instead of paying
+the compile; reported as "warmup": true + "warmup_s").
 
 Runs on whatever backend is up (TPU via the axon relay; JAX_PLATFORMS=cpu
 for smoke). Usable standalone or as the bench_suite 'serving' row.
@@ -49,6 +53,19 @@ N_CASES = int(os.environ.get("BENCH_SERVING_CASES", "10"))
 SHAPE = tuple(int(s) for s in os.environ.get(
     "BENCH_SERVING_SHAPE", "240,240,155").split(","))
 CASE_TIMEOUT = float(os.environ.get("BENCH_SERVING_TIMEOUT", "600"))
+WARMUP = os.environ.get("BENCH_SERVING_WARMUP", "0") == "1"
+
+
+def _expected_crop_shape() -> list:
+    """Cropped-foreground shape of the first injected case (seed 1) —
+    what an operator would pass to --watch_warmup as the expected brain
+    extent."""
+    import numpy as np
+
+    from brats21_tpu.data.synthetic import make_case
+    img, _ = make_case(SHAPE, seed=1)
+    nz = np.argwhere(img.any(axis=-1))
+    return (nz.max(axis=0) + 1 - nz.min(axis=0)).tolist()
 
 
 def log(msg: str) -> None:
@@ -82,13 +99,37 @@ def main() -> None:
         write_flagship_run_dir(run_dir)
         seg_dir = os.path.join(out, "Inference_segmentations_test")
 
-        server = subprocess.Popen(
-            [sys.executable, "-m", "brats21_tpu.cli.main_inference",
-             "--config", os.path.join(run_dir, "config.yaml"),
-             "--on", "test", "--input", data, "--output", out,
-             "--watch", "--watch_interval", "0.25",
-             "--watch_stop_file", stop_file, "--num_workers", "1", "-v"],
-            cwd=REPO, stdout=server_log, stderr=subprocess.STDOUT)
+        cmd = [sys.executable, "-m", "brats21_tpu.cli.main_inference",
+               "--config", os.path.join(run_dir, "config.yaml"),
+               "--on", "test", "--input", data, "--output", out,
+               "--watch", "--watch_interval", "0.25",
+               "--watch_stop_file", stop_file, "--num_workers", "1", "-v"]
+        warmup_s = None
+        if WARMUP:
+            warm = _expected_crop_shape()
+            cmd += ["--watch_warmup", *map(str, warm)]
+            log(f"warmup enabled: --watch_warmup {warm}")
+        server = subprocess.Popen(cmd, cwd=REPO, stdout=server_log,
+                                  stderr=subprocess.STDOUT)
+        if WARMUP:
+            # block until the server logs the warmup compile, so case 1's
+            # latency measures steady-state serving, not the compile
+            t0 = time.time()
+            logfile = os.path.join(work, "server.log")
+            while True:
+                if server.poll() is not None:
+                    raise RuntimeError(f"server died rc={server.returncode}")
+                with open(logfile) as f:
+                    txt = f.read()
+                if "warmup compile" in txt:
+                    break
+                if "warmup failed" in txt:
+                    raise RuntimeError("server warmup failed — see log")
+                if time.time() - t0 > CASE_TIMEOUT:
+                    raise TimeoutError("warmup never completed")
+                time.sleep(0.5)
+            warmup_s = time.time() - t0
+            log(f"warmup compile done in {warmup_s:.1f}s")
 
         latencies = []
         first_case_s = None
@@ -131,7 +172,10 @@ def main() -> None:
             "first_case_s": round(first_case_s, 2),
             "shape": list(SHAPE),
             "poll_interval_s": 0.25,
+            "warmup": WARMUP,
         }
+        if warmup_s is not None:
+            rec["warmup_s"] = round(warmup_s, 1)
         print(json.dumps(rec), flush=True)
     finally:
         open(stop_file, "w").close()

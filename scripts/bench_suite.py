@@ -155,7 +155,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SUITE.json"))
     ap.add_argument("--rows",
-                    default=",".join([*DEVICE_ROWS, "cli_e2e", "serving"]))
+                    default=",".join([*DEVICE_ROWS, "cli_e2e", "serving",
+                                      "serving_warm"]))
     ap.add_argument("--cli_cases", type=int,
                     default=int(os.environ.get("BENCH_CLI_CASES", "8")))
     ap.add_argument("--merge", action="store_true",
@@ -177,12 +178,15 @@ def main() -> None:
                 rows[name] = run_cli_e2e(args.cli_cases)
             except Exception as e:  # noqa: BLE001 — row isolation
                 rows[name] = {"rc": -1, "error": f"{type(e).__name__}: {e}"}
-        elif name == "serving":
+        elif name in ("serving", "serving_warm"):
             t0 = time.time()
+            env = dict(os.environ)
+            if name == "serving_warm":
+                env["BENCH_SERVING_WARMUP"] = "1"
             proc = subprocess.run(
                 [sys.executable, "-u",
                  os.path.join(REPO, "scripts", "bench_serving.py")],
-                stdout=subprocess.PIPE, text=True)
+                env=env, stdout=subprocess.PIPE, text=True)
             row = {"rc": proc.returncode,
                    "wall_s": round(time.time() - t0, 1)}
             lines = [ln for ln in proc.stdout.strip().splitlines()
