@@ -624,9 +624,12 @@ def bench_torch_cpu_baseline() -> float:
 
 
 _TRAIN = os.environ.get("BENCH_TRAIN") == "1"
+# every mode knob is part of the metric name so no artifact row can
+# mislabel its configuration (ADVICE r4: a w64 row shipped labeled w48)
+_TTA_TAG = "_tta16" if os.environ.get("BENCH_TTA") == "1" else ""
 _METRIC = (f"equiunet_assp_evo_w{WIDTH}_train_step_"
            f"{os.environ.get('BENCH_TRAIN_PATCH', '128')}cube" if _TRAIN
-           else f"equiunet_assp_evo_w{WIDTH}_full_volume_inference")
+           else f"equiunet_assp_evo_w{WIDTH}_full_volume_inference{_TTA_TAG}")
 _UNIT = "steps/min" if _TRAIN else "volumes/min"
 _STAGE = "import"          # coarse progress marker for failure reporting
 

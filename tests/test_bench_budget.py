@@ -84,6 +84,25 @@ def test_parse_result_accepts_only_metric_dicts():
     assert bench._parse_result(json.dumps({"value": 1})) is None  # no metric
 
 
+def test_metric_name_carries_every_mode_knob(tmp_path):
+    """Width, TTA mode and train mode must all be visible in the metric
+    string (ADVICE r4: a w64 suite row shipped labeled w48)."""
+    # _METRIC is computed at import time from env — subprocess per knob set
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import bench; print(bench._METRIC)"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "BENCH_TTA": "1", "BENCH_WIDTH": "64"})
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == \
+        "equiunet_assp_evo_w64_full_volume_inference_tta16"
+    out = subprocess.run(
+        [sys.executable, "-c", "import bench; print(bench._METRIC)"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "BENCH_TRAIN": "1", "BENCH_TRAIN_PATCH": "96"})
+    assert out.stdout.strip() == "equiunet_assp_evo_w48_train_step_96cube"
+
+
 def test_result_line_final_partial_and_error_schemas():
     final = json.loads(bench._result_line(107.94, 875.6))
     assert final == {"metric": bench._METRIC, "value": 107.94,
