@@ -223,6 +223,26 @@ def test_exhausted_total_budget_still_emits_one_json_line(bench_copy,
     assert recs[0]["value"] is None and "error" in recs[0]
 
 
+def test_bench_train_mode_end_to_end_cpu_tiny(bench_copy, tmp_path):
+    """BENCH_TRAIN=1 through the same parent→child pipeline: the train
+    step (dice+Ranger, remat=norm) measures, streams per-group partials,
+    and labels its metric with width and patch."""
+    env = _bench_env(tmp_path, BENCH_TRAIN="1", BENCH_TRAIN_PATCH="16",
+                     BENCH_TRAIN_STEPS="8", BENCH_TOTAL_BUDGET="540",
+                     BENCH_RETRIES="1", BENCH_ATTEMPT_TIMEOUT="480")
+    proc = subprocess.run([sys.executable, str(bench_copy)],
+                          capture_output=True, text=True, timeout=560,
+                          env=env, cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    recs = _result_lines(proc.stdout)
+    assert any(r.get("partial") for r in recs[:-1])
+    final = recs[-1]
+    assert final["metric"] == "equiunet_assp_evo_w8_train_step_16cube"
+    assert final["unit"] == "steps/min"
+    assert final["value"] and final["value"] > 0
+    assert not final.get("partial") and "error" not in final
+
+
 def test_bench_end_to_end_cpu_tiny_streams_partials(bench_copy, tmp_path):
     """The full parent→child pipeline at toy scale on CPU: rc=0, at least
     one streamed partial line BEFORE the final line, a positive final
