@@ -38,6 +38,10 @@ DEVICE_ROWS = {
     "w48_tta16": {"BENCH_TTA": "1",
                   "BENCH_VOLUMES": os.environ.get("BENCH_TTA_VOLUMES", "8")},
     "w48_train": {"BENCH_TRAIN": "1"},
+    # the TPU-native recommended sizing (docs/BENCHMARKS.md): its train
+    # step vs its OWN w64 torch-CPU baseline completes the w64 story
+    # alongside the w64_sparse inference row
+    "w64_train": {"BENCH_TRAIN": "1", "BENCH_WIDTH": "64"},
 }
 
 
