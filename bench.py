@@ -689,6 +689,28 @@ def _parse_result(line: str):
         return None
 
 
+def _better(a, b):
+    """Preference order between two result records: a real measurement
+    (non-None value) ALWAYS beats a value-less error line — a child that
+    streams good partials and then crashes emits a final error record,
+    which must not shadow the measurements that preceded it (the r3/r4
+    red-artifact class). Among measurements: final beats partial, then
+    more chunks beats fewer."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    a_val = a.get("value") is not None
+    b_val = b.get("value") is not None
+    if a_val != b_val:
+        return a if a_val else b
+    a_final = not a.get("partial")
+    b_final = not b.get("partial")
+    if a_final != b_final:
+        return a if a_final else b
+    return b if (b.get("chunks") or 0) >= (a.get("chunks") or 0) else a
+
+
 def _run_attempt(attempt_timeout: float):
     """Run one child attempt, STREAMING its stdout: every result line is
     echoed to our stdout immediately (so an external driver kill still
@@ -733,7 +755,7 @@ def _run_attempt(attempt_timeout: float):
                 buf = item.rstrip("\n")
                 rec = _parse_result(buf)
                 if rec is not None:
-                    last = rec
+                    last = _better(last, rec)
                     print(buf, flush=True)   # echo result lines IMMEDIATELY
                 elif buf:
                     log(f"[child] {buf}")
@@ -766,7 +788,7 @@ def _run_attempt(attempt_timeout: float):
         if item:
             rec = _parse_result(item.rstrip("\n"))
             if rec is not None:
-                last = rec
+                last = _better(last, rec)
                 print(item.rstrip("\n"), flush=True)
     return rc, last
 
@@ -788,18 +810,7 @@ def main() -> None:
     retries = max(int(os.environ.get("BENCH_RETRIES", "3")), 1)
     backoff = float(os.environ.get("BENCH_RETRY_BACKOFF", "45"))
     cap = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1200"))
-    best = None     # best result seen across attempts (final > more chunks)
-
-    def better(a, b):
-        if a is None:
-            return b
-        if b is None:
-            return a
-        a_final = not a.get("partial")
-        b_final = not b.get("partial")
-        if a_final != b_final:
-            return a if a_final else b
-        return b if (b.get("chunks") or 0) >= (a.get("chunks") or 0) else a
+    best = None     # best result seen across attempts (_better ordering)
 
     for attempt in range(1, retries + 1):
         remaining = hard_deadline - time.time()
@@ -812,7 +823,7 @@ def main() -> None:
             f"(timeout {attempt_timeout:.0f}s, "
             f"budget left {remaining:.0f}s)")
         rc, last = _run_attempt(attempt_timeout)
-        best = better(best, last)
+        best = _better(best, last)
         if rc == 0 and last is not None and not last.get("partial") \
                 and last.get("value") is not None:
             return      # success — final line already echoed

@@ -159,6 +159,50 @@ def test_marker_records_legacy_and_current_schemas(tmp_path):
     assert len(bench._marker_records(path)) == 2
 
 
+def test_better_never_lets_an_error_line_shadow_a_measurement():
+    """A child that streams a good partial and THEN crashes prints a
+    final error record (value None, no 'partial' key). 'Final beats
+    partial' must not apply across the value/no-value divide, or a real
+    measurement gets discarded (the r3/r4 red-artifact class)."""
+    part = {"metric": "m", "value": 42.5, "partial": True, "chunks": 2}
+    err = {"metric": "m", "value": None, "error": "boom", "stage": "chunk"}
+    final = {"metric": "m", "value": 50.0}
+    assert bench._better(part, err) is part
+    assert bench._better(err, part) is part
+    assert bench._better(part, final) is final     # final beats partial
+    assert bench._better(final, err) is final
+    assert bench._better(None, err) is err         # error > nothing at all
+    more = {"metric": "m", "value": 43.0, "partial": True, "chunks": 3}
+    assert bench._better(part, more) is more       # more chunks wins
+    assert bench._better(more, part) is more
+
+
+def test_run_attempt_keeps_partial_when_child_crashes_after_it(tmp_path,
+                                                               monkeypatch):
+    """Child emits a real partial measurement, then dies with an error
+    line (the in-child exception handler's output). _run_attempt must
+    return the measurement, not the error record."""
+    stub = tmp_path / "child.py"
+    stub.write_text(
+        "import json, sys\n"
+        "print(json.dumps({'metric': 'm', 'value': 42.5, 'unit':\n"
+        "    'volumes/min', 'vs_baseline': None, 'partial': True,\n"
+        "    'chunks': 2}), flush=True)\n"
+        "print(json.dumps({'metric': 'm', 'value': None, 'unit':\n"
+        "    'volumes/min', 'vs_baseline': None,\n"
+        "    'error': 'RuntimeError: transfer failed',\n"
+        "    'stage': 'chunk'}), flush=True)\n"
+        "sys.exit(1)\n")
+
+    real_popen = subprocess.Popen
+    monkeypatch.setattr(
+        subprocess, "Popen",
+        lambda argv, **kw: real_popen([sys.executable, str(stub)], **kw))
+    rc, last = bench._run_attempt(30.0)
+    assert rc == 1
+    assert last["value"] == 42.5 and last["partial"] is True
+
+
 def test_run_attempt_salvages_result_from_killed_child(tmp_path,
                                                        monkeypatch):
     """The r4 failure mode: a child doing real work is killed by the
