@@ -29,6 +29,94 @@ def test_nifti_uint8_roundtrip(tmp_path):
     np.testing.assert_array_equal(nifti.read_nifti(p).data, seg)
 
 
+def test_nifti_big_endian_read(tmp_path):
+    """Big-endian NIfTI-1 (e.g. written on SPARC-era scanners): the reader
+    must detect byte order from sizeof_hdr and byteswap data + header
+    fields (nifti.py:75-79)."""
+    import struct
+
+    data = np.arange(3 * 4 * 5, dtype=np.int16).reshape(3, 4, 5)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 3, 4, 5, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 4)              # int16
+    struct.pack_into(">h", hdr, 72, 16)
+    struct.pack_into(">8f", hdr, 76, 1.0, 1.5, 2.0, 2.5, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(">f", hdr, 108, 352.0)
+    struct.pack_into(">2f", hdr, 112, 1.0, 0.0)
+    hdr[344:348] = b"n+1\x00"
+    p = tmp_path / "be.nii"
+    p.write_bytes(bytes(hdr) + b"\x00" * 4
+                  + data.astype(">i2").tobytes(order="F"))
+    img = nifti.read_nifti(str(p))
+    np.testing.assert_array_equal(img.data, data)
+    assert img.data.dtype == np.dtype("=i2")        # native order out
+    np.testing.assert_allclose(img.spacing, (1.5, 2.0, 2.5))
+
+
+def test_nifti_scl_slope_inter_scaling(tmp_path):
+    """scl_slope/scl_inter (nifti.py:103-105): stored int16 values are
+    rescaled to float — the same contract nibabel's get_fdata applies."""
+    import struct
+
+    stored = np.array([[[0, 10], [20, 30]]], dtype=np.int16)
+    p = str(tmp_path / "scl.nii")
+    nifti.write_nifti(p, stored)
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<2f", raw, 112, 2.5, -1.0)    # slope 2.5, inter -1
+    open(p, "wb").write(bytes(raw))
+    img = nifti.read_nifti(p)
+    np.testing.assert_allclose(img.data, stored.astype(np.float32) * 2.5 - 1.0)
+
+
+def test_nifti_gzip_sniff_without_extension(tmp_path):
+    """A gzipped file with a bare .nii name still reads (magic sniffing,
+    nifti.py:59-64) — some BraTS mirrors misname files."""
+    import shutil
+
+    data = np.random.default_rng(1).random((4, 5, 6)).astype(np.float32)
+    gz = tmp_path / "x.nii.gz"
+    nifti.write_nifti(str(gz), data)
+    misnamed = tmp_path / "misnamed.nii"
+    shutil.move(str(gz), str(misnamed))
+    np.testing.assert_allclose(nifti.read_nifti(str(misnamed)).data, data)
+
+
+def test_nifti_4d_roundtrip(tmp_path):
+    data = np.random.default_rng(2).random((3, 4, 5, 2)).astype(np.float32)
+    p = str(tmp_path / "t.nii.gz")
+    nifti.write_nifti(p, data)
+    np.testing.assert_allclose(nifti.read_nifti(p).data, data)
+
+
+def test_nifti_header_extension_vox_offset(tmp_path):
+    """Files with header extensions place data past 352; the reader must
+    honor vox_offset (nifti.py:90,100-101), not assume 352."""
+    import struct
+
+    data = np.random.default_rng(3).random((2, 3, 4)).astype(np.float32)
+    p = str(tmp_path / "ext.nii")
+    nifti.write_nifti(p, data)
+    raw = bytearray(open(p, "rb").read())
+    ext = bytes([1, 0, 0, 0]) + struct.pack("<2i", 16, 4) + b"cmnt" + b"\x00" * 4
+    # extension flag + one 16-byte extension between header and data
+    body = raw[352:]
+    struct.pack_into("<f", raw, 108, 352.0 + 16)
+    open(p, "wb").write(bytes(raw[:348]) + ext + body)
+    np.testing.assert_allclose(nifti.read_nifti(p).data, data)
+
+
+def test_nifti_write_noncontiguous_view(tmp_path):
+    """Flipped / transposed views (TTA de-augmentation output) must write
+    correctly — tobytes(order='F') serializes any layout."""
+    base = np.random.default_rng(4).random((5, 6, 7)).astype(np.float32)
+    view = base[::-1, :, ::-2].transpose(1, 0, 2)
+    assert not view.flags["C_CONTIGUOUS"] and not view.flags["F_CONTIGUOUS"]
+    p = str(tmp_path / "v.nii.gz")
+    nifti.write_nifti(p, view)
+    np.testing.assert_allclose(nifti.read_nifti(p).data, view)
+
+
 def test_discovery(synthetic_case):
     db = create_database(synthetic_case,
                          required_modality=["t1", "t1ce", "flair", "t2", "seg"])
