@@ -245,7 +245,11 @@ def bench_tpu(emit=None) -> float:
     # default stays the proven wire (VERDICT r4 #1d).
     narrow_b = int(os.environ.get("BENCH_WIRE_BITS", "0"))
     if narrow_b:
-        need = max(wire.narrow_bits_for(v) for v in vols)
+        widths = [wire.narrow_bits_for(v) for v in vols]
+        # 0 means "this volume cannot be narrow-encoded losslessly"
+        # (negatives / full 16-bit range) — ANY such volume disables the
+        # wire; max() alone would let an encodable sibling mask it
+        need = 0 if any(w == 0 for w in widths) else max(widths)
         if need == 0 or need > narrow_b:
             log(f"BENCH_WIRE_BITS={narrow_b} cannot encode these volumes "
                 f"(need {need}); disabling narrow wire")
@@ -838,7 +842,10 @@ def main() -> None:
             time.sleep(backoff)
 
     if best is not None and best.get("value") is not None:
-        best.setdefault("partial", True)
+        # records are self-describing: a child's final line has no
+        # 'partial' key and must NOT be relabeled partial just because
+        # the attempt's rc was dirty (e.g. a timeout during teardown
+        # AFTER the complete measurement was printed)
         print(json.dumps(best), flush=True)   # definitive LAST line
         return
     rec = best or {}

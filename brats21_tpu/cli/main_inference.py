@@ -78,6 +78,14 @@ def main(argv=None) -> None:
         setattr(cfg, k, getattr(cfg0, k))
 
     watch = getattr(cfg0, "watch", False) and cfg0.on == "test"
+    if getattr(cfg0, "watch_warmup", None) and not watch:
+        # the precompile only exists on the serving path — say so rather
+        # than silently dropping the flag (one-shot runs compile on their
+        # first case regardless, so a warmup would not change anything)
+        logger.warning(
+            "--watch_warmup is only meaningful with --watch --on test "
+            "(got watch=%s, on=%s) — ignoring it",
+            getattr(cfg0, "watch", False), cfg0.on)
     nproc, pidx = jax.process_count(), jax.process_index()
 
     def owns(rec) -> bool:

@@ -123,7 +123,7 @@ class SegResNet(nn.Module):
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         f = self.init_filters
         x = Conv3d(f, 3, use_bias=False, name="conv_init")(x)
-        x = Dropout(self.dropout)(x, deterministic)
+        x = Dropout(self.dropout, channel_wise=True)(x, deterministic)
         skips = []
         for i, n_blocks in enumerate(self.blocks_down):
             ch = f * 2 ** i
@@ -170,7 +170,7 @@ class SegResNetVAE(nn.Module):
         blocks_down = (1, 2, 2, 4)
         xin = x
         x = Conv3d(f, 3, use_bias=False, name="conv_init")(x)
-        x = Dropout(self.dropout)(x, deterministic)
+        x = Dropout(self.dropout, channel_wise=True)(x, deterministic)
         skips = []
         for i, n_blocks in enumerate(blocks_down):
             ch = f * 2 ** i
@@ -259,8 +259,14 @@ class HighResBlock(nn.Module):
             y = Conv3d(self.ch, 3, dilation=self.dilation,
                        name=f"conv_{i}")(y)
         if x.shape[-1] != self.ch:
+            # MONAI ChannelPad (channel_matching='pad') SPLITS the pad:
+            # (out-in)//2 channels before, the remainder after — input
+            # channel c lands on output channel c + (out-in)//2, so a
+            # trailing-only pad silently misaligns every grown residual
+            # of an imported real MONAI checkpoint
+            grow = self.ch - x.shape[-1]
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
-                        + [(0, self.ch - x.shape[-1])])
+                        + [(grow // 2, grow - grow // 2)])
         return x + y
 
 
@@ -294,7 +300,7 @@ class HighResNet(nn.Module):
         if norm_ctor is not None:
             x = norm_ctor(name="norm_penult")(x)
         x = get_act(self.act)(x)
-        x = Dropout(self.dropout)(x, deterministic)
+        x = Dropout(self.dropout, channel_wise=True)(x, deterministic)
         return Conv3d(self.num_classes, 1, name="conv_final")(x)
 
 
@@ -349,7 +355,8 @@ class _VDownTransition(nn.Module):
         down = Conv3d(self.out_ch, 2, stride=2, padding=0,
                       name="down_conv")(x)
         down = get_act(self.act)(BatchNorm(name="bn1")(down))
-        out = Dropout(self.dropout)(down, deterministic)
+        out = Dropout(self.dropout, channel_wise=True)(down,
+                      deterministic)
         out = _VLUConvs(self.out_ch, self.nconvs, self.act, name="ops")(out)
         return get_act(self.act)(out + down)
 
@@ -367,8 +374,8 @@ class _VUpTransition(nn.Module):
     @nn.compact
     def __call__(self, x: Array, skip: Array,
                  deterministic: bool = True) -> Array:
-        out = Dropout(self.dropout)(x, deterministic)
-        skip = Dropout(0.5)(skip, deterministic)
+        out = Dropout(self.dropout, channel_wise=True)(x, deterministic)
+        skip = Dropout(0.5, channel_wise=True)(skip, deterministic)
         up = nn.ConvTranspose(self.out_ch // 2, (2, 2, 2), strides=(2, 2, 2),
                               dtype=out.dtype, param_dtype=jnp.float32,
                               name="up_conv")(out)

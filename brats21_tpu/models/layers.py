@@ -493,12 +493,22 @@ def upsample(x: Array, scale_factor: int = 2, align_corners: bool = True) -> Arr
 
 class Dropout(nn.Module):
     """Standard dropout gated by the 'deterministic' flag; a no-op module when
-    rate == 0 so the common case stays fusion-friendly."""
+    rate == 0 so the common case stays fusion-friendly.
+
+    ``channel_wise=True`` is torch ``nn.Dropout3d`` semantics — one mask
+    value per (batch, channel), broadcast over the spatial axes. MONAI's
+    ``Dropout[DROPOUT, spatial_dims]`` factory resolves to Dropout3d for
+    the 3-D nets that take ``dropout_prob`` (SegResNet(+VAE), HighResNet,
+    VNet — definer.py:97-127), so their train-time regularization drops
+    whole feature channels, not independent voxels."""
 
     rate: float = 0.0
+    channel_wise: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         if self.rate == 0.0:
             return x
-        return nn.Dropout(rate=self.rate, deterministic=deterministic)(x)
+        broadcast = tuple(range(1, x.ndim - 1)) if self.channel_wise else ()
+        return nn.Dropout(rate=self.rate, broadcast_dims=broadcast,
+                          deterministic=deterministic)(x)

@@ -49,6 +49,20 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def merge_row(rows: dict, name: str, new_row: dict) -> dict:
+    """A red recapture must not destroy an existing green row — --merge
+    exists to IMPROVE rows. The failed attempt is recorded alongside for
+    transparency."""
+    old = rows.get(name)
+    if old and old.get("rc") == 0 and new_row.get("rc") != 0:
+        log(f"[suite] {name}: recapture failed "
+            f"(rc={new_row.get('rc')}) — keeping existing green row")
+        return {**old, "failed_recapture": {
+            "rc": new_row.get("rc"),
+            "error": str(new_row.get("error", ""))[:200]}}
+    return new_row
+
+
 def run_device_row(name: str, knobs: dict) -> dict:
     env = dict(os.environ)
     env.update(knobs)
@@ -171,17 +185,25 @@ def main() -> None:
     wanted = [r.strip() for r in args.rows.split(",") if r.strip()]
 
     rows: dict = {}
+    prev_argv: list = []
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
-            rows = json.load(f).get("rows", {})
+            prev = json.load(f)
+        rows = prev.get("rows", {})
+        prev_argv = prev.get("argv_rows", [])
         log(f"[suite] merging into {args.out} "
             f"(existing rows: {sorted(rows)})")
+
+    def keep(name: str, new_row: dict) -> dict:
+        return merge_row(rows, name, new_row)
+
     for name in wanted:
         if name == "cli_e2e":
             try:
-                rows[name] = run_cli_e2e(args.cli_cases)
+                rows[name] = keep(name, run_cli_e2e(args.cli_cases))
             except Exception as e:  # noqa: BLE001 — row isolation
-                rows[name] = {"rc": -1, "error": f"{type(e).__name__}: {e}"}
+                rows[name] = keep(name, {"rc": -1,
+                                         "error": f"{type(e).__name__}: {e}"})
         elif name in ("serving", "serving_warm"):
             t0 = time.time()
             env = dict(os.environ)
@@ -202,15 +224,18 @@ def main() -> None:
                     row["error"] = lines[-1][:300]
             log(f"[suite] serving: rc={proc.returncode} "
                 f"p50={row.get('p50_s')}s p95={row.get('p95_s')}s")
-            rows[name] = row
+            rows[name] = keep(name, row)
         elif name in DEVICE_ROWS:
-            rows[name] = run_device_row(name, DEVICE_ROWS[name])
+            rows[name] = keep(name, run_device_row(name, DEVICE_ROWS[name]))
         else:
             log(f"[suite] unknown row '{name}' skipped")
 
     ok = [n for n, r in rows.items() if r.get("rc") == 0]
+    # provenance: keep the union of every capture's row list, not just
+    # the last --merge invocation's subset
+    all_argv = list(dict.fromkeys([*prev_argv, *wanted]))
     artifact = {"rows": rows, "green": ok,
-                "argv_rows": wanted,
+                "argv_rows": all_argv,
                 "note": "device rows are bench.py children (see bench.py "
                         "docstring for wire/TTA semantics); cli_e2e is the "
                         "real main_inference CLI over synthetic NIfTI"}

@@ -318,3 +318,25 @@ def test_bench_end_to_end_cpu_tiny_streams_partials(bench_copy, tmp_path):
 
     after = open(repo_marker).read() if os.path.exists(repo_marker) else None
     assert after == before, "repo parity marker was mutated by the test"
+
+
+def test_suite_merge_never_replaces_green_with_red():
+    """bench_suite --merge recaptures a row; a failed recapture must keep
+    the existing green measurement (recording the failure alongside)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_suite", os.path.join(REPO, "scripts", "bench_suite.py"))
+    suite = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(suite)
+
+    rows = {"w64_sparse": {"rc": 0, "value": 73.7, "unit": "volumes/min"}}
+    red = {"rc": 1, "error": "relay outage"}
+    kept = suite.merge_row(rows, "w64_sparse", red)
+    assert kept["rc"] == 0 and kept["value"] == 73.7
+    assert kept["failed_recapture"]["rc"] == 1
+
+    green = {"rc": 0, "value": 105.3, "unit": "volumes/min"}
+    assert suite.merge_row(rows, "w64_sparse", green) is green
+    # red-over-red and brand-new rows pass through unchanged
+    assert suite.merge_row({"x": {"rc": 1}}, "x", red) is red
+    assert suite.merge_row({}, "new", red) is red

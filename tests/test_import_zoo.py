@@ -535,7 +535,10 @@ class MHighResBlock(tnn.Module):
     def forward(self, x):
         y = self.layers(x)
         if self.pad:
-            x = F.pad(x, (0, 0, 0, 0, 0, 0, 0, self.pad))
+            # MONAI ChannelPad splits the pad: (out-in)//2 before, the
+            # remainder after (project.ChannelPad, channel_matching='pad')
+            x = F.pad(x, (0, 0, 0, 0, 0, 0,
+                          self.pad // 2, self.pad - self.pad // 2))
         return x + y
 
 

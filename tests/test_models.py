@@ -81,3 +81,31 @@ def test_bf16_forward():
     out, _ = model.apply(params, x)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_dropout_channel_wise_masks_whole_channels():
+    """channel_wise=True is torch Dropout3d semantics (MONAI's
+    Dropout[DROPOUT, 3] for SegResNet/HighResNet/VNet dropout_prob): one
+    mask value per (batch, channel), constant across the spatial axes."""
+    from brats21_tpu.models.layers import Dropout
+
+    x = jnp.ones((2, 4, 5, 6, 8), jnp.float32)
+    drop = Dropout(0.5, channel_wise=True)
+    y = drop.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    flat = np.asarray(y).reshape(2, -1, 8)
+    # every (batch, channel) column is either all-zero or all-scaled
+    per_bc = flat.transpose(0, 2, 1).reshape(-1, flat.shape[1])
+    for col in per_bc:
+        assert np.all(col == 0.0) or np.allclose(col, 2.0)
+    assert np.any(per_bc == 0.0) and np.any(per_bc > 0.0)
+
+    # element-wise mode really is element-wise (mask varies within a
+    # channel) and deterministic mode is the identity
+    ye = Dropout(0.5).apply({}, x, False,
+                            rngs={"dropout": jax.random.PRNGKey(0)})
+    fe = np.asarray(ye).reshape(2, -1, 8)
+    varies = [(np.any(fe[b, :, c] == 0) and np.any(fe[b, :, c] > 0))
+              for b in range(2) for c in range(8)]
+    assert any(varies)
+    np.testing.assert_array_equal(
+        np.asarray(Dropout(0.5, channel_wise=True).apply({}, x, True)), x)
